@@ -1,0 +1,213 @@
+"""Engine-owned table: create / load / append / overwrite / scan / time travel.
+
+Write semantics mirror the reference's contract (SURVEY.md §1.5):
+``append`` and ``overwrite`` each produce a new snapshot; older snapshots stay
+queryable (time travel == ``scan(snapshot_id=...)``, the analogue of Iceberg's
+``FOR VERSION AS OF`` exercised in the reference's
+``notebooks/iceberg_curd/create_iceberg_table.ipynb`` cells 6-11).
+
+Partitioning is identity-style like the reference's bronze tables
+(``src/elt/bronze/_bronze_handler.py:50-56`` partitions by ingest_year/month):
+we write with ``partitionBy`` on shadow ``_p_<col>`` copies so the partition
+value shapes the directory layout (and the manifest entry) while the real
+column stays inside the Parquet file — scans of explicit file lists then need
+no basePath reconstruction and schema stays uniform across commits.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .format import (
+    DataFile,
+    Snapshot,
+    atomic_write,
+    now_ms,
+    read_manifest,
+    write_manifest,
+)
+from .stats import collect_file_stats
+
+_P = "_p_"  # shadow partition-column prefix in directory layout
+
+
+class Table:
+    def __init__(self, root: str):
+        self.root = root
+        self.metadata_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+        with open(os.path.join(self.metadata_dir, "table.json")) as f:
+            meta = json.load(f)
+        self.schema: StructType = StructType.fromJson(meta["schema"])
+        self.partition_cols: list[str] = meta["partition_by"]
+        self.table_uuid: str = meta["uuid"]
+        self._manifest_cache: dict[str, list[DataFile]] = {}
+
+    # ---------------------------------------------------------------- create
+    @staticmethod
+    def create(root: str, schema: StructType, partition_by: list[str] | None = None) -> "Table":
+        partition_by = partition_by or []
+        for c in partition_by:
+            if c not in schema.fieldNames():
+                raise ValueError(f"partition column {c!r} not in schema")
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+        meta = {
+            "schema": schema.jsonValue(),
+            "partition_by": partition_by,
+            "uuid": uuid.uuid4().hex,
+            "format_version": 1,
+        }
+        atomic_write(os.path.join(root, "metadata", "table.json"), json.dumps(meta, indent=2))
+        return Table(root)
+
+    @staticmethod
+    def load(root: str) -> "Table":
+        return Table(root)
+
+    # ------------------------------------------------------------- snapshots
+    def current_snapshot_id(self) -> int | None:
+        vp = os.path.join(self.metadata_dir, "VERSION")
+        if not os.path.exists(vp):
+            return None
+        with open(vp) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.metadata_dir, "snap-*.json"))):
+            with open(p) as f:
+                out.append(Snapshot.from_json(f.read()))
+        out.sort(key=lambda s: s.snapshot_id)
+        return out
+
+    def live_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        files: list[DataFile] = []
+        for m in self.snapshot(sid).manifests:
+            if m not in self._manifest_cache:
+                self._manifest_cache[m] = read_manifest(self.metadata_dir, m)
+            files.extend(self._manifest_cache[m])
+        return files
+
+    # ------------------------------------------------------------- commit
+    def commit(
+        self,
+        added: list[DataFile],
+        removed_paths: set[str],
+        operation: str,
+        summary: dict | None = None,
+    ) -> int:
+        """Atomically produce the next snapshot: parent manifests minus
+        ``removed_paths`` (affected manifests rewritten), plus one new
+        manifest for ``added``."""
+        parent = self.current_snapshot_id()
+        manifests: list[str] = []
+        if parent is not None:
+            for m in self.snapshot(parent).manifests:
+                entries = read_manifest(self.metadata_dir, m)
+                if removed_paths and any(e.path in removed_paths for e in entries):
+                    kept = [e for e in entries if e.path not in removed_paths]
+                    if kept:
+                        manifests.append(write_manifest(self.metadata_dir, kept))
+                else:
+                    manifests.append(m)
+        if added:
+            manifests.append(write_manifest(self.metadata_dir, added))
+
+        sid = (parent or 0) + 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent,
+            operation=operation,
+            manifests=manifests,
+            summary={
+                "added-files": len(added),
+                "removed-files": len(removed_paths),
+                "added-rows": sum(f.rows for f in added),
+                **(summary or {}),
+            },
+            timestamp_ms=now_ms(),
+        )
+        atomic_write(os.path.join(self.metadata_dir, f"snap-{sid}.json"), snap.to_json())
+        atomic_write(os.path.join(self.metadata_dir, "VERSION"), str(sid))
+        return sid
+
+    # ------------------------------------------------------------- write
+    def write_datafiles(
+        self, df: DataFrame, num_files: int | None = None, sort_within: list[str] | None = None
+    ) -> list[DataFile]:
+        """Write ``df`` as immutable Parquet under a fresh commit dir and
+        return manifest entries (stats collected footer-only, distributed)."""
+        spark = df.sparkSession
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        out = df
+        if num_files:
+            out = out.repartition(num_files)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        writer = out.write.mode("error")
+        if self.partition_cols:
+            shadow = {_P + c: F.col(c) for c in self.partition_cols}
+            out2 = out
+            for name, expr in shadow.items():
+                out2 = out2.withColumn(name, expr)
+            writer = out2.write.mode("error").partitionBy(*[_P + c for c in self.partition_cols])
+        writer.parquet(commit_dir)
+
+        paths = sorted(glob.glob(os.path.join(commit_dir, "**", "*.parquet"), recursive=True))
+        tracked = [
+            f.name for f in self.schema.fields if f.dataType.typeName() not in ("array", "map", "struct")
+        ]
+        stats = collect_file_stats(spark, paths, tracked)
+        files: list[DataFile] = []
+        for p in paths:
+            rel = os.path.relpath(p, self.root)
+            partition = {}
+            for seg in rel.split(os.sep):
+                if seg.startswith(_P) and "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[k[len(_P):]] = unquote(v)
+            rows, nbytes, st = stats[p]
+            files.append(DataFile(path=rel, partition=partition, rows=rows, bytes=nbytes, stats=st))
+        return files
+
+    def append(self, df: DataFrame, num_files: int | None = None) -> int:
+        files = self.write_datafiles(df, num_files=num_files)
+        return self.commit(files, set(), "append")
+
+    def overwrite(self, df: DataFrame, num_files: int | None = None) -> int:
+        files = self.write_datafiles(df, num_files=num_files)
+        removed = {f.path for f in self.live_files()}
+        return self.commit(files, removed, "overwrite")
+
+    # ------------------------------------------------------------- read
+    def read_files(self, spark: SparkSession, files: list[DataFile]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.root, f.path) for f in files]
+        return spark.read.schema(self.schema).parquet(*paths)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        df = self.read_files(spark, self.live_files(snapshot_id))
+        return df.select(*columns) if columns else df

@@ -1,0 +1,63 @@
+"""M0: table create/append/scan/time-travel/overwrite.
+
+Mirrors the reference's snapshot semantics exercise
+(`notebooks/iceberg_curd/create_iceberg_table.ipynb` cells 6-11: three INSERT
+commits, snapshot listing, SELECT ... FOR VERSION AS OF).
+"""
+
+from batch_pipeline_via_lakehouse_spark.datagen import TOKEN_SCHEMA, token_table_df
+from batch_pipeline_via_lakehouse_spark.functions.checksums import content_checksum
+from batch_pipeline_via_lakehouse_spark.table import Table
+
+
+def _tok_checksum(df):
+    # order-insensitive content digest incl. exact token arrays
+    return content_checksum(df, ["doc_id", "tokens", "n_tok", "source"])
+
+
+def test_append_scan_timetravel(spark, tmp_path):
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA, partition_by=["source"])
+
+    s1 = t.append(token_table_df(spark, 500, seed=1), num_files=4)
+    s2 = t.append(token_table_df(spark, 300, seed=2), num_files=2)
+    s3 = t.append(token_table_df(spark, 200, seed=3), num_files=2)
+    assert [s.snapshot_id for s in t.snapshots()] == [s1, s2, s3]
+    assert t.current_snapshot_id() == s3
+
+    assert t.scan(spark).count() == 1000
+    assert t.scan(spark, snapshot_id=s1).count() == 500
+    assert t.scan(spark, snapshot_id=s2).count() == 800
+
+    # content fidelity: scan == generated, token arrays byte-equal
+    gen = token_table_df(spark, 500, seed=1)
+    assert _tok_checksum(t.scan(spark, snapshot_id=s1)) == _tok_checksum(gen)
+
+
+def test_partition_values_in_manifest(spark, tmp_path):
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA, partition_by=["source"])
+    t.append(token_table_df(spark, 400, seed=7))
+    files = t.live_files()
+    assert files and all("source" in f.partition for f in files)
+    # every file's rows actually match its manifest partition value
+    one = files[0]
+    df = t.read_files(spark, [one])
+    vals = [r["source"] for r in df.select("source").distinct().collect()]
+    assert vals == [one.partition["source"]]
+    # stats present for scalar cols
+    assert one.stat("n_tok", "min") is not None
+    assert one.rows > 0 and one.bytes > 0
+
+
+def test_overwrite_replaces_but_old_snapshot_readable(spark, tmp_path):
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA)
+    s1 = t.append(token_table_df(spark, 100, seed=1))
+    t.overwrite(token_table_df(spark, 50, seed=2))
+    assert t.scan(spark).count() == 50
+    assert t.scan(spark, snapshot_id=s1).count() == 100
+
+
+def test_generator_deterministic(spark):
+    a = token_table_df(spark, 200, seed=42, num_partitions=2)
+    b = token_table_df(spark, 200, seed=42, num_partitions=7)
+    assert _tok_checksum(a) == _tok_checksum(b)
+    assert a.schema == TOKEN_SCHEMA
