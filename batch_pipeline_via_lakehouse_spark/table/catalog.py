@@ -150,15 +150,22 @@ class Table:
 
     # ------------------------------------------------------------- write
     def write_datafiles(
-        self, df: DataFrame, num_files: int | None = None, sort_within: list[str] | None = None
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        sort_within: list[str] | None = None,
+        use_coalesce: bool = False,
     ) -> list[DataFile]:
         """Write ``df`` as immutable Parquet under a fresh commit dir and
-        return manifest entries (stats collected footer-only, distributed)."""
+        return manifest entries (stats collected footer-only, distributed).
+
+        ``use_coalesce`` merges input partitions narrowly (no shuffle) —
+        right for compaction, where input rows need no redistribution."""
         spark = df.sparkSession
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         out = df
         if num_files:
-            out = out.repartition(num_files)
+            out = out.coalesce(num_files) if use_coalesce else out.repartition(num_files)
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
         writer = out.write.mode("error")
