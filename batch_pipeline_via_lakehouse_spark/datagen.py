@@ -102,10 +102,14 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
 
 def token_table_df(
-    spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic token table of ``n_rows`` rows."""
-    base = spark.range(0, n_rows, numPartitions=num_partitions)
+    """Distributed deterministic token table of rows [start, start+n_rows)."""
+    base = spark.range(start, start + n_rows, numPartitions=num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -1,0 +1,237 @@
+"""MERGE INTO — copy-on-write row-level upsert (SCD1) and versioning (SCD2).
+
+Replicates the reference's MERGE semantics, which it delegates to the Iceberg
+Spark extension:
+
+- SCD1 (`src/elt/silver/_silver_handler.py:195-224`): ``ON key_eq WHEN
+  MATCHED AND <tracked col changed, null-safe <=>> THEN UPDATE SET ... WHEN
+  NOT MATCHED THEN INSERT``.
+- SCD2 (`_silver_handler.py:156-192`): pass 1 closes the matched-and-changed
+  current row (end_ts, is_current=false); pass 2 inserts the new version.
+- Source prep dedup (`_silver_handler.py:124-143`, W1): keep one row per key
+  by descending order columns before matching.
+
+Engine execution (this is the ⚙ part — we implement what the Iceberg
+extension did):
+
+1. *Plan*: find the target files that contain matching keys by scanning ONLY
+   the key columns plus ``input_file_name()`` and semi-joining the source
+   keys — column-pruned, and the join is key-vs-key (high-cardinality,
+   no hot keys; AQE handles residual skew). Files without matches are
+   carried into the new snapshot by manifest reference — never rewritten.
+2. *Rewrite*: full-outer join affected-rows x source on the key; per column
+   pick source values for (insert | matched-and-changed) rows, target values
+   otherwise. Change detection is null-safe ``eqNullSafe`` over the tracked
+   columns (F16).
+3. *Commit*: one replace-snapshot (remove affected, add rewritten+inserted);
+   one commit-log entry with lineage and metrics.
+
+A source key that matches no affected-file row matches no target row at all
+(by construction of step 1), so inserts need only an anti-join against the
+affected subset — the unaffected bulk of a 100 TB table is never read.
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..table.catalog import Table
+from .commitlog import CommitLog
+
+
+def dedup_source(source: DataFrame, key_cols: list[str], order_desc: list[str]) -> DataFrame:
+    """W1: one row per key, preferring the highest ``order_desc`` values."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc_nulls_last() for c in order_desc])
+    return (
+        source.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def _affected_files(
+    spark: SparkSession, table: Table, source: DataFrame, key_cols: list[str], snapshot_id: int
+) -> tuple[list, list]:
+    """Split live files into (with-matching-keys, without). Reads only the key
+    columns of the target (column-pruned parquet scan)."""
+    live = table.live_files(snapshot_id)
+    if not live:
+        return [], []
+    keys_with_file = (
+        table.read_files(spark, live)
+        .select(*key_cols, F.input_file_name().alias("_file"))
+        .join(source.select(*key_cols).distinct(), on=key_cols, how="left_semi")
+    )
+    hit_paths = {r["_file"] for r in keys_with_file.select("_file").distinct().collect()}
+
+    def norm(p: str) -> str:
+        return p.removeprefix("file://")
+
+    import os
+
+    hit_rel = {os.path.relpath(norm(p), table.root) for p in hit_paths}
+    affected = [f for f in live if f.path in hit_rel]
+    untouched = [f for f in live if f.path not in hit_rel]
+    return affected, untouched
+
+
+def _changed_expr(tracked: list[str]) -> F.Column:
+    """Null-safe any-column-differs (reference's `<=>` change test, F16)."""
+    cond = F.lit(False)
+    for c in tracked:
+        cond = cond | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    return cond
+
+
+def merge_scd1(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str] | None = None,
+    dedup_order: list[str] | None = None,
+    broadcast_source: bool = False,
+    job_id: str | None = None,
+) -> dict:
+    """Upsert ``source`` into ``table``; returns report with snapshot id."""
+    t0 = time.monotonic()
+    job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
+    cols = table.schema.fieldNames()
+    tracked = tracked_cols or [c for c in cols if c not in key_cols]
+    if dedup_order:
+        source = dedup_source(source, key_cols, dedup_order)
+    source = source.select(*cols)
+
+    base = table.current_snapshot_id()
+    affected, untouched = _affected_files(spark, table, source, key_cols, base)
+    target_aff = table.read_files(spark, affected)
+
+    src = F.broadcast(source) if broadcast_source else source
+    key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    joined = target_aff.alias("t").join(src.alias("s"), on=key_eq, how="full_outer")
+
+    is_insert = F.col(f"t.{key_cols[0]}").isNull()
+    s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    changed = _changed_expr(tracked)
+    # source values only for inserts and matched-and-changed rows; a target
+    # row with no source match sees changed=true vs all-null s.* — guard it
+    take_source = s_present & (is_insert | changed)
+    result = joined.select(
+        *[
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            if c not in key_cols
+            else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+
+    out_files = table.write_datafiles(result)
+    sid = table.commit(
+        out_files,
+        {f.path for f in affected},
+        "merge",
+        {"job_id": job_id, "mode": "scd1", "affected-files": len(affected),
+         "carried-files": len(untouched)},
+    )
+    log = CommitLog(table.root, job_id)
+    log.record(
+        partition="merge",
+        input_files=[f.path for f in affected],
+        output_files=[f.path for f in out_files],
+        snapshot_id=sid,
+        rows=sum(f.rows for f in out_files),
+        bytes_=sum(f.bytes for f in out_files),
+        tokens=0,
+        seconds=time.monotonic() - t0,
+    )
+    return {
+        "snapshot": sid,
+        "affected_files": len(affected),
+        "carried_files": len(untouched),
+        "written_files": len(out_files),
+    }
+
+
+SCD2_COLS = ["is_current", "start_ts", "end_ts"]
+
+
+def merge_scd2(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts: datetime.datetime | None = None,
+    dedup_order: list[str] | None = None,
+    job_id: str | None = None,
+) -> dict:
+    """SCD2 merge: close matched-and-changed current rows, insert new
+    versions. Table schema must include is_current:boolean, start_ts, end_ts.
+    Both reference passes (`_silver_handler.py:175-188`) execute in ONE
+    copy-on-write rewrite here — same output, half the shuffles."""
+    t0 = time.monotonic()
+    job_id = job_id or f"merge2-{uuid.uuid4().hex[:12]}"
+    ts = F.lit(effective_ts) if effective_ts else F.current_timestamp()
+    cols = table.schema.fieldNames()
+    data_cols = [c for c in cols if c not in SCD2_COLS]
+    if dedup_order:
+        source = dedup_source(source, key_cols, dedup_order)
+    source = source.select(*[c for c in data_cols])
+
+    base = table.current_snapshot_id()
+    affected, untouched = _affected_files(spark, table, source, key_cols, base)
+    target_aff = table.read_files(spark, affected)
+
+    key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    changed = _changed_expr(tracked_cols)
+    s_missing = F.col(f"s.{key_cols[0]}").isNull()
+
+    # pass 1 equivalent: close matched-and-changed CURRENT rows, carry the rest
+    close_row = ~s_missing & F.col("t.is_current") & changed
+    existing = (
+        target_aff.alias("t")
+        .join(source.alias("s"), on=key_eq, how="left_outer")
+        .select(
+            *[F.col(f"t.{c}").alias(c) for c in data_cols],
+            F.when(close_row, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),
+            F.col("t.start_ts").alias("start_ts"),
+            F.when(close_row, ts).otherwise(F.col("t.end_ts")).alias("end_ts"),
+        )
+    )
+    # pass 2 equivalent: insert a new current version when the key has no
+    # current row (new key, or every version already closed) or it changed
+    cur_missing = F.col(f"t.{key_cols[0]}").isNull()
+    inserts = (
+        source.alias("s")
+        .join(target_aff.filter(F.col("is_current")).alias("t"), on=key_eq, how="left_outer")
+        .filter(cur_missing | changed)
+        .select(
+            *[F.col(f"s.{c}").alias(c) for c in data_cols],
+            F.lit(True).alias("is_current"),
+            ts.alias("start_ts"),
+            F.lit(None).cast("timestamp").alias("end_ts"),
+        )
+    )
+    result = existing.unionByName(inserts).select(*cols)
+
+    out_files = table.write_datafiles(result)
+    sid = table.commit(
+        out_files,
+        {f.path for f in affected},
+        "merge",
+        {"job_id": job_id, "mode": "scd2", "affected-files": len(affected)},
+    )
+    CommitLog(table.root, job_id).record(
+        partition="merge",
+        input_files=[f.path for f in affected],
+        output_files=[f.path for f in out_files],
+        snapshot_id=sid,
+        rows=sum(f.rows for f in out_files),
+        bytes_=sum(f.bytes for f in out_files),
+        tokens=0,
+        seconds=time.monotonic() - t0,
+    )
+    return {"snapshot": sid, "affected_files": len(affected), "carried_files": len(untouched)}

@@ -39,6 +39,42 @@ from .stats import collect_file_stats
 _P = "_p_"  # shadow partition-column prefix in directory layout
 
 
+def _norm_nullability(dt):
+    """Type with all nullability flags erased (for cast-necessity checks —
+    Spark refuses array<int> -> array<int> casts differing only in
+    containsNull)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        out = StructType()
+        for f in dt.fields:
+            out.add(f.name, _norm_nullability(f.dataType), True)
+        return out
+    if isinstance(dt, ArrayType):
+        return ArrayType(_norm_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_norm_nullability(dt.keyType), _norm_nullability(dt.valueType), True)
+    return dt
+
+
+def conform_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    """Cast matching columns, add missing ones as typed nulls, reorder —
+    the reference's normalize step (`src/elt/silver/_silver_handler.py:44-55`,
+    P3). Columns whose type already matches (modulo nullability) pass
+    through uncast."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        if field.name in by_name:
+            if _norm_nullability(by_name[field.name]) == _norm_nullability(field.dataType):
+                cols.append(F.col(field.name))
+            else:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 class Table:
     def __init__(self, root: str):
         self.root = root
@@ -163,7 +199,7 @@ class Table:
         right for compaction, where input rows need no redistribution."""
         spark = df.sparkSession
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        out = df
+        out = conform_schema(df, self.schema)
         if num_files:
             out = out.coalesce(num_files) if use_coalesce else out.repartition(num_files)
         if sort_within:

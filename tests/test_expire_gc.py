@@ -1,0 +1,82 @@
+"""M3: snapshot expiry, reachability GC, manifest rewrite."""
+
+import glob
+import os
+
+import pytest
+
+from batch_pipeline_via_lakehouse_spark.datagen import TOKEN_SCHEMA, token_table_df
+from batch_pipeline_via_lakehouse_spark.functions.checksums import content_checksum
+from batch_pipeline_via_lakehouse_spark.operators.compaction import compact
+from batch_pipeline_via_lakehouse_spark.operators.expire import expire_snapshots, gc_orphans
+from batch_pipeline_via_lakehouse_spark.operators.manifest import rewrite_manifests
+from batch_pipeline_via_lakehouse_spark.table import Table
+
+
+def _on_disk(t):
+    return {p for p in glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)}
+
+
+def test_expire_retains_and_gcs_exclusive_files(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA, partition_by=["source"])
+    t.append(token_table_df(spark, 400, seed=1), num_files=3)
+    t.append(token_table_df(spark, 200, seed=2), num_files=2)
+    compact(spark, t, target_bytes=8 * 1024 * 1024)
+    pre_expire_live = {os.path.join(t.root, f.path) for f in t.live_files()}
+    content = content_checksum(t.scan(spark))
+    n_disk_before = len(_on_disk(t))
+
+    report = expire_snapshots(t, retain_last=1, gc=True, gc_grace_ms=0)
+    assert report["expired"]  # old append snapshots expired
+    assert report["deleted_files"] > 0  # pre-compaction files GC'd
+
+    # current snapshot untouched: exact content, all live files still on disk
+    assert content_checksum(t.scan(spark)) == content
+    assert pre_expire_live <= _on_disk(t)
+    assert len(_on_disk(t)) < n_disk_before
+    # expired snapshots no longer time-travelable
+    with pytest.raises(FileNotFoundError):
+        t.scan(spark, snapshot_id=1).count()
+
+
+def test_expire_keeps_shared_files(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    t.append(token_table_df(spark, 300, seed=1))  # snap 1
+    s2 = t.append(token_table_df(spark, 100, seed=2))  # snap 2 (shares snap-1 files)
+    expire_snapshots(t, retain_last=1, gc=True, gc_grace_ms=0)
+    # snap-1's files are shared with snap-2 (still live) -> must survive
+    assert t.scan(spark, snapshot_id=s2).count() == 400
+
+
+def test_gc_removes_uncommitted_junk_respects_grace(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    t.append(token_table_df(spark, 100, seed=1))
+    junk = os.path.join(t.data_dir, "deadbeef", "junk.parquet")
+    os.makedirs(os.path.dirname(junk))
+    with open(junk, "wb") as f:
+        f.write(b"not-a-real-parquet")
+    # inside grace window -> protected
+    assert gc_orphans(t, grace_ms=10 * 60 * 1000)["deleted_files"] == 0
+    assert os.path.exists(junk)
+    # outside grace window -> deleted (marker/crc files may be swept too)
+    assert gc_orphans(t, grace_ms=0)["deleted_files"] >= 1
+    assert not os.path.exists(junk)
+    # live data untouched
+    assert t.scan(spark).count() == 100
+
+
+def test_rewrite_manifests_metadata_only(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA, partition_by=["source"])
+    for k in range(3):
+        t.append(token_table_df(spark, 300, seed=30 + k), num_files=2)
+    compact(spark, t, target_bytes=8 * 1024 * 1024)
+    content = content_checksum(t.scan(spark))
+    files_before = {f.path for f in t.live_files()}
+    n_manifests = len(t.snapshot(t.current_snapshot_id()).manifests)
+
+    r = rewrite_manifests(t)
+    assert r["manifests_after"] < n_manifests
+    assert {f.path for f in t.live_files()} == files_before  # same data files
+    assert content_checksum(t.scan(spark)) == content
+    # pre-rewrite snapshot still readable (metadata-only commit)
+    assert content_checksum(t.scan(spark, snapshot_id=r["snapshot"] - 1)) == content

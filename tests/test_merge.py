@@ -1,0 +1,131 @@
+"""M4: MERGE INTO (SCD1/SCD2) — semantics vs independent oracle, CoW minimality."""
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from batch_pipeline_via_lakehouse_spark.datagen import TOKEN_SCHEMA, token_table_df
+from batch_pipeline_via_lakehouse_spark.functions.checksums import content_checksum
+from batch_pipeline_via_lakehouse_spark.operators.merge import dedup_source, merge_scd1, merge_scd2
+from batch_pipeline_via_lakehouse_spark.table import Table
+
+COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_scd1_upsert_matches_oracle(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    target = token_table_df(spark, 500, seed=1)
+    t.append(target)
+    pre_sid = t.current_snapshot_id()
+    pre = content_checksum(t.scan(spark), COLS)
+
+    # source: 100 updated rows (doc 0..99, new payload) + 50 brand-new docs
+    updates = token_table_df(spark, 100, seed=99)
+    news = token_table_df(spark, 50, seed=98).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    source = updates.unionByName(news)
+
+    merge_scd1(spark, t, source, key_cols=["doc_id"])
+
+    # oracle: src ∪ (target anti src)  (update-all-columns semantics)
+    expected = source.unionByName(target.join(source, "doc_id", "left_anti"))
+    got = t.scan(spark)
+    assert got.count() == 550
+    assert content_checksum(got, COLS) == content_checksum(expected, COLS)
+    # snapshot isolation: pre-merge snapshot unchanged
+    assert content_checksum(t.scan(spark, snapshot_id=pre_sid), COLS) == pre
+
+
+def test_scd1_copy_on_write_touches_only_matching_files(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    # cluster by doc_id so keys are file-local
+    df = token_table_df(spark, 2000, seed=2).repartitionByRange(10, "doc_id")
+    t.commit(t.write_datafiles(df), set(), "append")
+    n_files = len(t.live_files())
+
+    source = token_table_df(spark, 40, seed=77)  # doc-...0000..0039: one range
+    r = merge_scd1(spark, t, source, key_cols=["doc_id"], broadcast_source=True)
+    assert r["affected_files"] < n_files // 2
+    assert r["carried_files"] == n_files - r["affected_files"]
+    assert t.scan(spark).count() == 2000  # pure update, no inserts
+
+
+def test_scd1_unchanged_rows_do_not_churn(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    t.append(token_table_df(spark, 300, seed=3))
+    before = content_checksum(t.scan(spark), COLS)
+    # identical source -> content identical after merge
+    merge_scd1(spark, t, token_table_df(spark, 300, seed=3), key_cols=["doc_id"])
+    assert content_checksum(t.scan(spark), COLS) == before
+
+
+def test_dedup_source_keeps_latest(spark):
+    src = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], ["k", "ver", "v"]
+    )
+    out = dedup_source(src, ["k"], ["ver"]).collect()
+    got = {r["k"]: (r["ver"], r["v"]) for r in out}
+    assert got == {"a": (2, 20), "b": (1, 30)}
+
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+        StructField("is_current", BooleanType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+
+def _scd2_src(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "n_tok", "source"])
+
+
+def test_scd2_versions(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SCD2_SCHEMA)
+    ts0 = datetime.datetime(2026, 1, 1)
+    ts1 = datetime.datetime(2026, 2, 1)
+    ts2 = datetime.datetime(2026, 3, 1)
+
+    init = _scd2_src(spark, [("a", 10, "web"), ("b", 20, "wiki")]).select(
+        "*",
+        F.lit(True).alias("is_current"),
+        F.lit(ts0).alias("start_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+    )
+    t.append(init)
+
+    # change a, keep b, add c
+    merge_scd2(
+        spark, t,
+        _scd2_src(spark, [("a", 11, "web"), ("b", 20, "wiki"), ("c", 30, "code")]),
+        key_cols=["doc_id"], tracked_cols=["n_tok", "source"], effective_ts=ts1,
+    )
+    rows = {(r["doc_id"], r["n_tok"], r["is_current"], r["start_ts"], r["end_ts"])
+            for r in t.scan(spark).collect()}
+    assert ("a", 10, False, ts0, ts1) in rows      # closed old version
+    assert ("a", 11, True, ts1, None) in rows      # new current
+    assert ("b", 20, True, ts0, None) in rows      # untouched
+    assert ("c", 30, True, ts1, None) in rows      # brand-new key
+    assert len(rows) == 4
+
+    # idempotent re-merge: same source, nothing changes
+    merge_scd2(
+        spark, t,
+        _scd2_src(spark, [("a", 11, "web"), ("b", 20, "wiki"), ("c", 30, "code")]),
+        key_cols=["doc_id"], tracked_cols=["n_tok", "source"], effective_ts=ts2,
+    )
+    assert t.scan(spark).count() == 4
+    assert t.scan(spark).filter("is_current").count() == 3
