@@ -1,0 +1,68 @@
+"""Shared bench harness: the compaction+Z-order maintenance job (the
+north-rule metric) and the headline query set."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import TOKEN_SCHEMA, token_table_df
+from .operators.clustering import cluster
+from .operators.compaction import compact
+from .table import Table
+
+
+def run_maintenance_bench(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    fragment_files: int = 64,
+    target_bytes: int = 96 * 1024 * 1024,
+    keep_dir: str | None = None,
+) -> dict:
+    """Generate a fragmented token table, run compaction then Z-order
+    clustering; return phase timings + throughput (sequences/s, tokens/s
+    over the maintenance phases, which is the BASELINE.json metric)."""
+    root = keep_dir or tempfile.mkdtemp(prefix="bench-tok-")
+    table_dir = os.path.join(root, "tok")
+    t = Table.create(table_dir, TOKEN_SCHEMA, partition_by=["source"])
+
+    t0 = time.monotonic()
+    t.append(token_table_df(spark, n_rows, seed=seed), num_files=fragment_files)
+    t_ingest = time.monotonic() - t0
+
+    total_tokens = int(
+        t.scan(spark).agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0]
+    )
+    files_before = len(t.live_files())
+
+    t0 = time.monotonic()
+    compact(spark, t, target_bytes=target_bytes, max_concurrency=8)
+    t_compact = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    cluster(spark, t, mode="zorder", target_bytes=target_bytes)
+    t_cluster = time.monotonic() - t0
+
+    files_after = len(t.live_files())
+    maint = t_compact + t_cluster
+    out = {
+        "rows": n_rows,
+        "tokens": total_tokens,
+        "files_before": files_before,
+        "files_after": files_after,
+        "ingest_s": round(t_ingest, 2),
+        "compact_s": round(t_compact, 2),
+        "cluster_s": round(t_cluster, 2),
+        "maintenance_s": round(maint, 2),
+        "sequences_per_s": round(2 * n_rows / maint, 1),  # each row passes compact+cluster
+        "tokens_per_s": round(2 * total_tokens / maint, 1),
+    }
+    if keep_dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

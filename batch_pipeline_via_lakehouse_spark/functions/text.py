@@ -1,0 +1,48 @@
+"""Text-analysis kernels shared by the query suite (all JVM-side built-ins).
+
+Cross-engine determinism trick used throughout: the only hash both Spark and
+DuckDB share bit-for-bit is md5 (lowercase hex), so every sketch (minhash,
+simhash) derives integers from md5 hex prefixes — 15 hex chars = 60 bits,
+safely inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stopword sets for the language-ID heuristic (tiny on purpose; the corpus is
+# synthetic — what matters is that the heuristic is deterministic and the
+# Spark and SQL forms agree)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "una", "por"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def words_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization (after trim) — matches
+    regexp_split_to_array(trim(text), '\\s+') in DuckDB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def md5_int(c: Column) -> Column:
+    """First 60 bits of md5 as int64 — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_3grams_expr(words_col_name: str) -> Column:
+    """Distinct word trigrams from an array column (SQL-lambda, JVM-side)."""
+    w = words_col_name
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size({w}) - 3, -1)),"
+            f" i -> concat({w}[i], ' ', {w}[i+1], ' ', {w}[i+2]))"
+        )
+    )

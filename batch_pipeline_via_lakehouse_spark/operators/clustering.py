@@ -17,8 +17,10 @@ skip most files (asserted in tests).
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +43,7 @@ def cluster(
     target_bytes: int = 128 * 1024 * 1024,
     job_id: str | None = None,
     snapshot_id: int | None = None,
+    max_concurrency: int = 4,
 ) -> dict:
     """Rewrite the table clustered by a Z/Hilbert key; one commit + commit-log
     entry per identity partition (resumable with the same ``job_id``)."""
@@ -70,10 +73,9 @@ def cluster(
 
     done = log.completed_partitions()
     has_tokens = "n_tok" in table.schema.fieldNames()
-    reports = []
-    for pk, pfiles in sorted(by_part.items()):
-        if pk in done:
-            continue
+    commit_mutex = threading.Lock()
+
+    def run_partition(pk: str, pfiles: list[DataFile]) -> dict:
         t0 = time.monotonic()
         dims = [c for c in hash_cols if c not in part_cols]
         key = cluster_key_column(mode, numeric_col, dims, lo, hi)
@@ -90,20 +92,27 @@ def cluster(
             aggs.append(F.sum(F.col("n_tok").cast("long")).alias("tokens"))
         m = table.read_files(spark, pfiles).agg(*aggs).collect()[0]
         out_files = table.write_datafiles(clustered)
-        sid = table.commit(
-            out_files, {f.path for f in pfiles}, "cluster", {"partition": pk, "mode": mode}
-        )
-        log.record(
-            partition=pk,
-            input_files=[f.path for f in pfiles],
-            output_files=[f.path for f in out_files],
-            snapshot_id=sid,
-            rows=m["rows"],
-            bytes_=sum(f.bytes for f in out_files),
-            tokens=int(m["tokens"]) if has_tokens and m["tokens"] else 0,
-            seconds=time.monotonic() - t0,
-        )
-        reports.append({"partition": pk, "out_files": len(out_files), "snapshot": sid})
+        with commit_mutex:  # snapshot chain is single-writer
+            sid = table.commit(
+                out_files, {f.path for f in pfiles}, "cluster", {"partition": pk, "mode": mode}
+            )
+            log.record(
+                partition=pk,
+                input_files=[f.path for f in pfiles],
+                output_files=[f.path for f in out_files],
+                snapshot_id=sid,
+                rows=m["rows"],
+                bytes_=sum(f.bytes for f in out_files),
+                tokens=int(m["tokens"]) if has_tokens and m["tokens"] else 0,
+                seconds=time.monotonic() - t0,
+            )
+        return {"partition": pk, "out_files": len(out_files), "snapshot": sid}
+
+    todo = [(pk, pfiles) for pk, pfiles in sorted(by_part.items()) if pk not in done]
+    reports = []
+    if todo:
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            reports = list(pool.map(lambda a: run_partition(*a), todo))
 
     entries = log.entries()
     return {

@@ -1,0 +1,352 @@
+"""Training-data text operators over the `documents` table.
+
+The operations a 100 TB pretraining-data pipeline runs before tokenization:
+exact + near dedup (shingle Jaccard, MinHash, SimHash), language ID, quality
+scoring, token counting, fingerprinting. Everything is JVM-side built-ins
+(split/regexp/md5/explode/groupBy) — no Python in any hot path — and every
+sketch is md5-derived so the DuckDB oracles match bit-for-bit.
+
+Scale shapes: shingle inverted-index joins shuffle on the shingle (fine —
+shingles are high-cardinality); MinHash-LSH turns the O(n^2) pair problem
+into a band-bucket equi-join, which is the 10^12-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_PRIORITY, STOPWORDS, md5_int, word_3grams_expr, words_col
+from .registry import load, query
+
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT d.doc_id, md5(d.text) AS fp,
+           min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper,
+           (d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))) AS is_keeper
+    FROM documents d
+    """,
+)
+def exact_dedup(spark, sf_dir) -> DataFrame:
+    """Exact dedup via content hash: every doc mapped to its group keeper
+    (min doc_id per md5). hash-groupBy, the cheapest dedup tier."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.min("doc_id").over(w).alias("keeper"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpeish,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish regex segmentation
+    (letter runs / single digits / punctuation)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words_col()).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"), 0)).alias("n_bpeish"),
+        "n_chars",
+    )
+
+
+def _langid_oracle() -> str:
+    hits = ",\n           ".join(
+        "sum(CASE WHEN word IN ({}) THEN 1 ELSE 0 END) AS {}_hits".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in LANG_PRIORITY
+    )
+    best = "GREATEST({})".format(", ".join(f"{lang}_hits" for lang in LANG_PRIORITY))
+    pick = "CASE "
+    for lang in LANG_PRIORITY:
+        pick += f"WHEN {lang}_hits = best AND best > 0 THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+           {hits}
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, {pick.replace('best', best)} AS predicted_lang,
+           {best} AS stopword_hits
+    FROM hits
+    """
+
+
+@query("langid", oracle=_langid_oracle())
+def langid(spark, sf_dir) -> DataFrame:
+    """Language ID by stopword-hit voting (n-gram heuristic tier); ties break
+    by fixed language priority."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("word"))
+    hit_aggs = [
+        F.sum(F.when(F.col("word").isin(STOPWORDS[lang]), 1).otherwise(0)).alias(f"{lang}_hits")
+        for lang in LANG_PRIORITY
+    ]
+    hits = words.groupBy("doc_id").agg(*hit_aggs)
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in LANG_PRIORITY])
+    pick = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pick = F.when((F.col(f"{lang}_hits") == best) & (best > 0), lang).otherwise(pick)
+    return hits.select("doc_id", pick.alias("predicted_lang"), best.cast("long").alias("stopword_hits"))
+
+
+@query(
+    "quality_score",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(floor(1000.0 * n_punct / n_chars) AS BIGINT) AS punct_ratio_m,
+           CAST(floor(100.0 * n_chars / n_words) AS BIGINT) AS mean_wordlen_c,
+           (n_words BETWEEN 20 AND 1000 AND n_punct * 1.0 / n_chars < 0.1) AS passes
+    FROM f
+    """,
+)
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Quality heuristics: length band, punctuation density, mean word
+    length, pass/fail gate (floor-scaled ints for bit-stable compare)."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(words_col())
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(1000.0 * n_punct / F.col("n_chars")).cast("long").alias("punct_ratio_m"),
+        F.floor(100.0 * F.col("n_chars") / n_words).cast("long").alias("mean_wordlen_c"),
+        (n_words.between(20, 1000) & (n_punct * 1.0 / F.col("n_chars") < 0.1)).alias("passes"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """Canonical-form fingerprint: lowercase, collapse whitespace, md5."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# near-dup: exact shingle Jaccard via inverted index
+
+_GRAMS_SQL = r"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w)+1)) AS pos FROM toks
+    ), grams AS (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+      FROM words a
+      JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(floor(1000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jaccard_m
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Exact near-dup pairs: word-3gram Jaccard >= 0.8 via a shingle
+    inverted-index equi-join (no O(n^2) cross join; candidates only where a
+    shingle is shared — the shuffle key is the shingle)."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", words_col().alias("w"))
+        .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.floor(1000.0 * jac).cast("long").alias("jaccard_m"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+_K = 8  # signature length; bands of 2 -> 4 band keys
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n           ".join(
+        f"min(('0x' || substr(md5('{j}:' || g), 1, 15))::BIGINT) AS m{j}" for j in range(_K)
+    )
+
+
+@query(
+    "minhash_signature",
+    oracle=f"""
+    WITH {_GRAMS_SQL}
+    SELECT doc_id,
+           {_minhash_sql_cols()}
+    FROM grams GROUP BY doc_id
+    """,
+)
+def minhash_signature(spark, sf_dir) -> DataFrame:
+    """MinHash signatures (k={_K}) over word-3gram shingles: shingle ->
+    md5-int under k salts -> per-doc min. One shuffle (groupBy doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", words_col().alias("w"))
+        .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
+    )
+    aggs = [
+        F.min(md5_int(F.concat(F.lit(f"{j}:"), F.col("g")))).alias(f"m{j}") for j in range(_K)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_sql_cols()}
+      FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (4 bands x 2 rows),
+    equi-join on band key. This is the scale path for near-dedup: candidate
+    generation is a hash join on band keys, never a cross join."""
+    sig = minhash_signature(spark, sf_dir)
+    bands = None
+    for i in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.concat_ws("_", F.col(f"m{2*i}"), F.col(f"m{2*i+1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words
+    ), bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@query("simhash", oracle=_simhash_sql())
+def simhash(spark, sf_dir) -> DataFrame:
+    f"""SimHash ({_SIMHASH_BITS}-bit) per document: word-hash bit votes,
+    sign-aggregated — one groupBy, all JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col()).alias("word"))
+    hashed = words.select("doc_id", md5_int(F.col("word")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    assemble = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
+        assemble = term if assemble is None else assemble + term
+    return bits.select("doc_id", assemble.cast("long").alias("simhash"))

@@ -1,0 +1,171 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine (baseline): JVM-side higher-order functions
+  (zip_with + aggregate) — no UDF at all;
+- LSH bucketing (scale path): random-hyperplane signs with hyperplanes
+  derived deterministically from md5 parities, computed in a vectorized
+  NumPy pandas UDF (one matmul per Arrow batch);
+- near-dup pairs: bucketed/blocked join instead of full cross join.
+
+Cosine values are floor-scaled (x1000) for bit-stable cross-engine compare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .registry import load, query
+
+_DIM = 64
+_PLANES = 8
+
+
+def _cosine_expr(a: str, b: str) -> F.Column:
+    """cosine(a, b) entirely in Spark SQL lambdas (JVM, codegen-friendly);
+    elements cast to double before multiply for engine-stable accumulation."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v)"
+    na = f"aggregate({a}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
+    nb = f"aggregate({b}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "ann_cosine_scores",
+    oracle=f"""
+    SELECT b.vec_id, b.label,
+           CAST(floor(1000 * ({_COS_SQL.format(a="a.embedding", b="b.embedding")})) AS BIGINT) AS cos_m
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = 0 AND b.vec_id <> 0
+      AND ({_COS_SQL.format(a="a.embedding", b="b.embedding")}) >= 0.25
+    """,
+)
+def ann_cosine_scores(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine against a query vector (vec_id=0), thresholded.
+    The query vector is a 1-row broadcast cross join — the canonical
+    'score all vectors' plan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
+    cos = _cosine_expr("q_emb", "embedding")
+    return (
+        e.filter("vec_id <> 0")
+        .crossJoin(q)
+        .filter(cos >= 0.25)
+        .select("vec_id", "label", F.floor(1000 * cos).cast("long").alias("cos_m"))
+    )
+
+
+@query(
+    "ann_topk",
+    oracle=f"""
+    SELECT vec_id, label, cos_m FROM (
+      SELECT b.vec_id, b.label,
+             CAST(floor(1000 * ({_COS_SQL.format(a="a.embedding", b="b.embedding")})) AS BIGINT) AS cos_m
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id = 0 AND b.vec_id <> 0
+    ) ORDER BY cos_m DESC, vec_id LIMIT 20
+    """,
+)
+def ann_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force top-k (k=20) by cosine — TakeOrderedAndProject, no global
+    sort materialization. Deterministic tiebreak on vec_id."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
+    cos = _cosine_expr("q_emb", "embedding")
+    return (
+        e.filter("vec_id <> 0")
+        .crossJoin(q)
+        .select("vec_id", "label", F.floor(1000 * cos).cast("long").alias("cos_m"))
+        .orderBy(F.col("cos_m").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(floor(1000 * ({_COS_SQL.format(a="a.embedding", b="b.embedding")})) AS BIGINT) AS cos_m
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({_COS_SQL.format(a="a.embedding", b="b.embedding")}) >= 0.35
+    """,
+)
+def embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (the blocking key stands in
+    for an LSH bucket: candidates share a block, never a full cross join)."""
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _cosine_expr("a.embedding", "b.embedding")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.floor(1000 * cos).cast("long").alias("cos_m"),
+        )
+    )
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 parities — reproducible in SQL."""
+    w = np.empty((_PLANES, _DIM), dtype=np.float64)
+    for j in range(_PLANES):
+        for d in range(_DIM):
+            h = hashlib.md5(f"{j}-{d}".encode()).hexdigest()
+            w[j, d] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    return w
+
+
+def _lsh_weights_sql() -> str:
+    w = _hyperplanes()
+    rows = ", ".join(
+        f"({j}, {d}, {int(w[j, d])})" for j in range(_PLANES) for d in range(_DIM)
+    )
+    return f"(VALUES {rows}) AS w(plane, dim, wt)"
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), proj AS (
+      SELECT c.vec_id, w.plane, sum(c.x * w.wt) AS p
+      FROM comps c JOIN {_lsh_weights_sql()} ON c.dim = w.dim
+      GROUP BY c.vec_id, w.plane
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN p >= 0 THEN 1 ELSE 0 END * (1 << plane)) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector — the ANN scale path: bucket
+    once (one NumPy matmul per Arrow batch), then search within buckets.
+    Hyperplanes are md5-derived so the SQL oracle reproduces them exactly."""
+    w = _hyperplanes()
+
+    @pandas_udf("long")
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())  # (batch, DIM) float32
+        proj = m.astype(np.float64) @ w.T  # (batch, PLANES)
+        bits = (proj >= 0).astype(np.int64)
+        return pd.Series((bits << np.arange(_PLANES, dtype=np.int64)).sum(axis=1))
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))

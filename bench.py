@@ -1,0 +1,89 @@
+"""Benchmark entry: headline queries + the maintenance flagship.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from batch_pipeline_via_lakehouse_spark.bench_core import run_maintenance_bench  # noqa: E402
+from batch_pipeline_via_lakehouse_spark.plans.queries import QUERIES  # noqa: E402
+from batch_pipeline_via_lakehouse_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "topn_per_group",
+    "dedup_latest",
+    "forward_fill",
+    "rolling_window",
+    "join_enrich",
+    "asof_join",
+    "merge_upsert",
+    "grouped_features",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "langid",
+    "quality_score",
+    "ann_topk",
+    "embedding_neardup",
+    "ann_lsh_buckets",
+]
+
+# maintenance table sizing: rows scale with sf (sf0.1 -> 120k sequences,
+# ~250M tokens through compact+cluster)
+MAINT_ROWS = {"0.001": 2_000, "0.01": 12_000, "0.1": 120_000}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    maint_rows = MAINT_ROWS.get(sf, max(2000, int(float(sf) * 1_200_000)))
+    maint = run_maintenance_bench(spark, n_rows=maint_rows)
+    timings["maintenance_compact_zorder"] = maint["maintenance_s"]
+    print(f"# maintenance: {maint}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline query suite + compaction/Z-order maintenance wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "maintenance": maint,
+        "maintenance_tokens_per_s": maint["tokens_per_s"],
+        "maintenance_sequences_per_s": maint["sequences_per_s"],
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
