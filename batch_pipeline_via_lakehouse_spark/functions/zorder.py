@@ -158,11 +158,86 @@ def hkey2_udf(lo: float, hi: float):
     return hkey
 
 
+# ---------------------------------------------------------------------------
+# JVM-native Morton keys: the same spread-bits pipeline as the NumPy kernels,
+# expressed with built-in shiftleft/&/| so it stays inside whole-stage codegen
+# and costs nothing extra when repartitionByRange evaluates the key twice
+# (range-sampling pass + shuffle pass). Tests assert bit-equality with the
+# Arrow-UDF kernels; Hilbert keeps the Arrow path (its per-bit rotation loop
+# has no sane SQL form).
+
+_SPREAD3 = [
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+_SPREAD2 = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_sql(c: Column, steps: list[tuple[int, int]], in_mask: int) -> Column:
+    x = c.bitwiseAND(F.lit(in_mask))
+    for shift, mask in steps:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _scale_sql(c: Column, lo: float, hi: float, bits: int) -> Column:
+    span = hi - lo
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = (c.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float((1 << bits) - 1))
+    return F.least(
+        F.greatest(scaled, F.lit(0.0)), F.lit(float((1 << bits) - 1))
+    ).cast("long")
+
+
+def _hash_bits_sql(c: Column, bits: int) -> Column:
+    # logical right shift of the signed xxhash64 == NumPy's uint64 >> shift
+    return F.shiftrightunsigned(c, 64 - bits)
+
+
+def zkey3_sql(numeric_col: str, h1: Column, h2: Column, lo: float, hi: float) -> Column:
+    a = _scale_sql(F.col(numeric_col), lo, hi, 21)
+    b = _hash_bits_sql(h1, 21)
+    c = _hash_bits_sql(h2, 21)
+    return (
+        _spread_sql(a, _SPREAD3, 0x1FFFFF)
+        .bitwiseOR(F.shiftleft(_spread_sql(b, _SPREAD3, 0x1FFFFF), 1))
+        .bitwiseOR(F.shiftleft(_spread_sql(c, _SPREAD3, 0x1FFFFF), 2))
+    )
+
+
+def zkey2_sql(numeric_col: str, h1: Column, lo: float, hi: float) -> Column:
+    a = _scale_sql(F.col(numeric_col), lo, hi, 31)
+    b = _hash_bits_sql(h1, 31)
+    return _spread_sql(a, _SPREAD2, 0x7FFFFFFF).bitwiseOR(
+        F.shiftleft(_spread_sql(b, _SPREAD2, 0x7FFFFFFF), 1)
+    )
+
+
 def cluster_key_column(
-    mode: str, numeric_col: str, hash_cols: list[str], lo: float, hi: float
+    mode: str,
+    numeric_col: str,
+    hash_cols: list[str],
+    lo: float,
+    hi: float,
+    impl: str = "jvm",
 ) -> Column:
-    """Build the clustering-key Column: JVM xxhash64 for strings, Arrow UDF
-    for the bit interleave."""
+    """Build the clustering-key Column. ``impl='jvm'`` (default) keeps the
+    whole key inside codegen; ``impl='arrow'`` routes the bit interleave
+    through the vectorized NumPy pandas UDFs (bit-identical, tested)."""
+    if mode == "zorder" and impl == "jvm":
+        if len(hash_cols) == 2:
+            return zkey3_sql(numeric_col, F.xxhash64(hash_cols[0]), F.xxhash64(hash_cols[1]), lo, hi)
+        return zkey2_sql(numeric_col, F.xxhash64(hash_cols[0]), lo, hi)
     if mode == "zorder" and len(hash_cols) == 2:
         return zkey3_udf(lo, hi)(
             F.col(numeric_col), F.xxhash64(hash_cols[0]), F.xxhash64(hash_cols[1])

@@ -93,7 +93,7 @@ def compact(
     small_threshold: float = 0.75,
     min_files_per_bin: int = 2,
     job_id: str | None = None,
-    max_concurrency: int = 4,
+    max_concurrency: int | None = None,
     fail_after_partitions: int | None = None,  # test hook: simulate a kill
 ) -> dict:
     """Run compaction; returns a report. Re-run with the same ``job_id`` to
@@ -115,44 +115,105 @@ def compact(
         for i, group in enumerate(bins)
         if f"{pk}#bin{i}" not in done
     ]
+    # largest groups first — the fattest rewrite defines the critical path
+    todo.sort(key=lambda kv: sum(f.bytes for f in kv[1]), reverse=True)
     skipped = plan.n_bins - len(todo)
     if fail_after_partitions is not None:
         todo = todo[:fail_after_partitions]
 
     has_tokens = "n_tok" in table.schema.fieldNames()
     commit_mutex = threading.Lock()
+    if max_concurrency is None:
+        # a rewrite group is one single-task write (coalesce) — saturating the
+        # cluster means one in-flight group per core, like Iceberg's
+        # max-concurrent-file-group-rewrites
+        max_concurrency = max(4, spark.sparkContext.defaultParallelism)
 
-    def run_group(group_key: str, in_files: list[DataFile]) -> dict:
+    # --- bundle groups into few wide jobs ----------------------------------
+    # One Spark job per file group pays fixed job latency + driver py4j work
+    # per group; with dozens of groups that fixed-cost pool caps scaling.
+    # Instead: pack groups into <= n_bundles byte-balanced bundles; a bundle
+    # is ONE job — a union of per-group coalesce(1) branches, so each task
+    # rewrites exactly one group into exactly one output file (task index i
+    # <-> group i, recovered from the part-NNNNN file name for lineage).
+    n_bundles = min(max(1, max_concurrency // 4), max(1, len(todo) // 2)) or 1
+    bundles: list[list[tuple[str, list[DataFile]]]] = [[] for _ in range(n_bundles)]
+    bundle_bytes = [0] * n_bundles
+    for gk, files in todo:
+        i = bundle_bytes.index(min(bundle_bytes))
+        bundles[i].append((gk, files))
+        bundle_bytes[i] += sum(f.bytes for f in files)
+    bundles = [b for b in bundles if b]
+
+    results = []
+
+    def run_bundle(bundle: list[tuple[str, list[DataFile]]]) -> None:
+        import os
+        import re
+
         t0 = time.monotonic()
-        df = table.read_files(spark, in_files)
-        aggs = [F.count(F.lit(1)).alias("rows")]
-        if has_tokens:
-            aggs.append(F.sum(F.col("n_tok").cast("long")).alias("tokens"))
-        metrics = df.agg(*aggs).collect()[0]
-        out_files = table.write_datafiles(df, num_files=1, use_coalesce=True)
+        # one wide job: task i streams the files of bin i through Arrow and
+        # writes exactly one output file — no shuffle (rows never move between
+        # bins), no per-group job latency. spark.range(n, numPartitions=n)
+        # puts exactly value i in partition i, so the task->bin mapping is
+        # exact and recoverable from the part-NNNNN output name.
+        bin_paths = [
+            [os.path.join(table.root, f.path) for f in files] for _, files in bundle
+        ]
+        arrow_schema = None
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(table.schema)
+        except Exception:  # noqa: BLE001 — cast is best-effort; plan still valid
+            pass
+
+        def read_bin(batches):
+            import pyarrow.parquet as pq
+
+            for batch in batches:
+                for v in batch.column(0).to_pylist():
+                    tbl = pq.read_table(bin_paths[v])
+                    if arrow_schema is not None:
+                        tbl = tbl.select(arrow_schema.names).cast(arrow_schema)
+                    yield from tbl.to_batches(max_chunksize=16384)
+
+        desc = spark.range(0, len(bin_paths), numPartitions=len(bin_paths))
+        df = desc.mapInArrow(read_bin, schema=table.schema)
+        out_files = table.write_datafiles(df)
+
+        def task_idx(path: str) -> int:
+            m = re.search(r"part-(\d{5})", path.rsplit("/", 1)[-1])
+            return int(m.group(1)) if m else -1
+
+        by_idx = {task_idx(f.path): f for f in out_files}
+        seconds = time.monotonic() - t0
         with commit_mutex:  # snapshot chain is single-writer
             sid = table.commit(
                 out_files,
-                {f.path for f in in_files},
+                {f.path for _, files in bundle for f in files},
                 "compact",
-                {"group": group_key, "job_id": job_id},
+                {"job_id": job_id, "groups": [gk for gk, _ in bundle]},
             )
-            log.record(
-                partition=group_key,
-                input_files=[f.path for f in in_files],
-                output_files=[f.path for f in out_files],
-                snapshot_id=sid,
-                rows=metrics["rows"],
-                bytes_=sum(f.bytes for f in out_files),
-                tokens=int(metrics["tokens"]) if has_tokens and metrics["tokens"] else 0,
-                seconds=time.monotonic() - t0,
-            )
-        return {"group": group_key, "in": len(in_files), "out": len(out_files), "snapshot": sid}
+            for i, (gk, in_files) in enumerate(bundle):
+                out_f = [by_idx[i]] if i in by_idx else []
+                log.record(
+                    partition=gk,
+                    input_files=[f.path for f in in_files],
+                    output_files=[f.path for f in out_f],
+                    snapshot_id=sid,
+                    rows=sum(f.rows for f in out_f),
+                    bytes_=sum(f.bytes for f in out_f),
+                    tokens=sum(int(f.stat("n_tok", "sum") or 0) for f in out_f) if has_tokens else 0,
+                    seconds=round(seconds / len(bundle), 3),
+                )
+                results.append(
+                    {"group": gk, "in": len(in_files), "out": len(out_f), "snapshot": sid}
+                )
 
-    results = []
     if todo:
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            results = list(pool.map(lambda a: run_group(*a), todo))
+        with ThreadPoolExecutor(max_workers=len(bundles)) as pool:
+            list(pool.map(run_bundle, bundles))
 
     entries = log.entries()
     return {

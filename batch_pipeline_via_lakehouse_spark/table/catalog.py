@@ -130,15 +130,18 @@ class Table:
         out.sort(key=lambda s: s.snapshot_id)
         return out
 
+    def _read_manifest_cached(self, name: str) -> list[DataFile]:
+        if name not in self._manifest_cache:
+            self._manifest_cache[name] = read_manifest(self.metadata_dir, name)
+        return self._manifest_cache[name]
+
     def live_files(self, snapshot_id: int | None = None) -> list[DataFile]:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return []
         files: list[DataFile] = []
         for m in self.snapshot(sid).manifests:
-            if m not in self._manifest_cache:
-                self._manifest_cache[m] = read_manifest(self.metadata_dir, m)
-            files.extend(self._manifest_cache[m])
+            files.extend(self._read_manifest_cached(m))
         return files
 
     # ------------------------------------------------------------- commit
@@ -156,15 +159,22 @@ class Table:
         manifests: list[str] = []
         if parent is not None:
             for m in self.snapshot(parent).manifests:
-                entries = read_manifest(self.metadata_dir, m)
+                # cached reads: a maintenance job issues one commit per file
+                # group, and rescanning every manifest from disk per commit
+                # would make commit cost quadratic in group count
+                entries = self._read_manifest_cached(m)
                 if removed_paths and any(e.path in removed_paths for e in entries):
                     kept = [e for e in entries if e.path not in removed_paths]
                     if kept:
-                        manifests.append(write_manifest(self.metadata_dir, kept))
+                        name = write_manifest(self.metadata_dir, kept)
+                        self._manifest_cache[name] = kept
+                        manifests.append(name)
                 else:
                     manifests.append(m)
         if added:
-            manifests.append(write_manifest(self.metadata_dir, added))
+            name = write_manifest(self.metadata_dir, added)
+            self._manifest_cache[name] = added
+            manifests.append(name)
 
         sid = (parent or 0) + 1
         snap = Snapshot(
@@ -217,7 +227,12 @@ class Table:
         tracked = [
             f.name for f in self.schema.fields if f.dataType.typeName() not in ("array", "map", "struct")
         ]
-        stats = collect_file_stats(spark, paths, tracked)
+        sum_cols = [
+            f.name
+            for f in self.schema.fields
+            if f.dataType.typeName() in ("integer", "long", "float", "double")
+        ]
+        stats = collect_file_stats(spark, paths, tracked, sum_cols)
         files: list[DataFile] = []
         for p in paths:
             rel = os.path.relpath(p, self.root)

@@ -46,14 +46,22 @@ def _jsonable(v):
     return v
 
 
-def _file_stats(path: str, tracked: list[str] | None) -> tuple[int, int, dict]:
+_SUM_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
+def _file_stats(
+    path: str, tracked: list[str] | None, sum_cols: list[str] | None = None
+) -> tuple[int, int, dict]:
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     rows = md.num_rows
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
+    summable: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -63,6 +71,8 @@ def _file_stats(path: str, tracked: list[str] | None) -> tuple[int, int, dict]:
                 continue
             if tracked is not None and name not in tracked:
                 continue
+            if str(col.physical_type) in _SUM_TYPES:
+                summable.add(name)
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
@@ -77,17 +87,29 @@ def _file_stats(path: str, tracked: list[str] | None) -> tuple[int, int, dict]:
         c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c, 0)}
         for c in set(mins) | set(maxs)
     }
+    # column sums (e.g. n_tok -> token totals per file): one columnar read of
+    # the requested columns, recorded in the manifest so maintenance jobs get
+    # per-partition token metrics for free (no extra Spark job)
+    for c in sum_cols or []:
+        if c in summable:
+            t = pf.read(columns=[c])
+            stats.setdefault(c, {"min": None, "max": None, "nulls": 0})["sum"] = _jsonable(
+                pc.sum(t.column(c)).as_py()
+            )
     return rows, os.path.getsize(path), stats
 
 
 def collect_file_stats(
-    spark: SparkSession, paths: list[str], tracked: list[str] | None = None
+    spark: SparkSession,
+    paths: list[str],
+    tracked: list[str] | None = None,
+    sum_cols: list[str] | None = None,
 ) -> dict[str, tuple[int, int, dict]]:
     """path -> (rows, bytes, stats-dict), computed executor-side."""
     if not paths:
         return {}
     if len(paths) <= 8:  # not worth a job; footer reads are ~ms each
-        return {p: _file_stats(p, tracked) for p in paths}
+        return {p: _file_stats(p, tracked, sum_cols) for p in paths}
 
     pdf = pd.DataFrame({"path": paths})
     df = spark.createDataFrame(pdf).repartition(min(len(paths), 64))
@@ -96,7 +118,7 @@ def collect_file_stats(
         for b in batches:
             out = []
             for p in b["path"]:
-                rows, nbytes, stats = _file_stats(p, tracked)
+                rows, nbytes, stats = _file_stats(p, tracked, sum_cols)
                 out.append((p, str(rows), str(nbytes), json.dumps(stats, default=str)))
             yield pd.DataFrame(out, columns=["path", "rows", "bytes", "stats"])
 

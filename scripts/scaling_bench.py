@@ -1,0 +1,87 @@
+"""Two-cluster-size scaling evidence (north rule): the same compaction+Z-order
+job at local[N] and local[4N] on the same input; reports throughput at both
+plus scaling efficiency = thr(4N) / (4 * thr(N)).
+
+Each run is a fresh subprocess (own JVM) so parallelism levels don't share
+executor state. Usage:
+    python scripts/scaling_bench.py [--rows 120000] [--n 8] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = """
+import sys, json
+sys.path.insert(0, {repo!r})
+from batch_pipeline_via_lakehouse_spark.session import get_spark
+from batch_pipeline_via_lakehouse_spark.bench_core import run_maintenance_bench
+spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
+spark.sparkContext.setLogLevel("ERROR")
+out = run_maintenance_bench(spark, n_rows={rows}, fragment_files={frag})
+print("RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, rows: int, frag: int) -> dict:
+    code = _RUNNER.format(repo=REPO, cpus=cpus, rows=rows, frag=frag)
+    # pin the whole process tree (JVM + python workers) to `cpus` physical
+    # cores: local[N] alone only caps Spark task slots — GC/IO/Python threads
+    # would still spill onto all cores and flatter the small configuration
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run at local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=120_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N (big is 4N)")
+    ap.add_argument("--frag", type=int, default=64)
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="runs per level; best taken (the sandbox host has "
+                         "multi-tenant IO/CPU noise worth ±3x)")
+    args = ap.parse_args()
+
+    import time as _t
+
+    def best_of(cpus: int) -> dict:
+        runs = []
+        for i in range(args.repeat):
+            r = run_at(cpus, args.rows, args.frag)
+            print(f"# local[{cpus}] run {i}: maintenance={r['maintenance_s']}s "
+                  f"({r['tokens_per_s']:.0f} tok/s)", file=sys.stderr)
+            runs.append(r)
+            subprocess.run(["sync"])
+            _t.sleep(5)
+        return max(runs, key=lambda r: r["tokens_per_s"])
+
+    small = best_of(args.n)
+    big = best_of(4 * args.n)
+    eff_tok = big["tokens_per_s"] / (4 * small["tokens_per_s"])
+    eff_seq = big["sequences_per_s"] / (4 * small["sequences_per_s"])
+    result = {
+        "rows": args.rows,
+        "n_cores": args.n,
+        "4n_cores": 4 * args.n,
+        f"local[{args.n}]": small,
+        f"local[{4 * args.n}]": big,
+        "scaling_efficiency_tokens": round(eff_tok, 3),
+        "scaling_efficiency_sequences": round(eff_seq, 3),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
