@@ -1,0 +1,77 @@
+"""Streaming append sink into an engine table — exactly-once via batch-id
+dedup.
+
+The reference ships (dormant) streaming append sinks with processingTime
+triggers and checkpoints (`src/elt/bronze/_bronze_handler.py:76-96`,
+`src/elt/silver/_silver_handler.py:238-255`; K5). The engine equivalent uses
+``foreachBatch``: Structured Streaming's checkpoint guarantees each micro-
+batch id is replayed at-least-once after a crash; the sink records the batch
+id in the snapshot summary and skips ids it has already committed, upgrading
+to exactly-once (the standard idempotent-foreachBatch pattern).
+
+Kafka source parity (S4): ``read_kafka`` builds the standard subscribe-from-
+earliest reader (`_bronze_handler.py:66-73`); untestable in this sandbox (no
+broker), so it is a thin, documented builder only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..table.catalog import Table
+
+
+def committed_batch_ids(table: Table, query_name: str) -> set[int]:
+    return {
+        s.summary["stream-batch-id"]
+        for s in table.snapshots()
+        if s.summary.get("stream-query") == query_name and "stream-batch-id" in s.summary
+    }
+
+
+def stream_append(
+    stream_df: DataFrame,
+    table: Table,
+    checkpoint_dir: str,
+    query_name: str = "stream-append",
+    trigger_seconds: int | None = 5,
+    num_files: int | None = None,
+) -> StreamingQuery:
+    """Start a streaming append into ``table``; returns the StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table, query_name):
+            return  # replayed micro-batch after restart — already committed
+        files = table.write_datafiles(batch_df, num_files=num_files)
+        if files:
+            table.commit(
+                files,
+                set(),
+                "append",
+                {"stream-query": query_name, "stream-batch-id": batch_id},
+            )
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kafka(spark: SparkSession, servers: str, topic: str) -> DataFrame:
+    """Kafka source builder (S4; `_bronze_handler.py:66-73`). Requires the
+    spark-sql-kafka package on the cluster; no broker in this sandbox."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
