@@ -38,7 +38,12 @@ def stream_append(
     trigger_seconds: int | None = 5,
     num_files: int | None = None,
 ) -> StreamingQuery:
-    """Start a streaming append into ``table``; returns the StreamingQuery."""
+    """Start a streaming append into ``table``; returns the StreamingQuery.
+
+    ``query_name`` is the idempotence key: batch ids already committed under
+    it are skipped on replay. It must therefore be UNIQUE per logical stream —
+    reusing a name for a brand-new stream (fresh checkpoint) would silently
+    drop its early batches as 'already committed'."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids(table, query_name):
