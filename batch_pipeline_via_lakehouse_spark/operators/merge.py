@@ -94,9 +94,17 @@ def merge_scd1(
     tracked_cols: list[str] | None = None,
     dedup_order: list[str] | None = None,
     broadcast_source: bool = False,
+    salt_buckets: int | None = None,
     job_id: str | None = None,
 ) -> dict:
-    """Upsert ``source`` into ``table``; returns report with snapshot id."""
+    """Upsert ``source`` into ``table``; returns report with snapshot id.
+
+    ``salt_buckets``: structural skew handling (north_rule) for targets with
+    hot duplicate keys — the rewrite becomes a salted left join (updates +
+    carries) plus an anti-join (inserts) against the DISTINCT target keys, so
+    one hot key spreads over ``salt_buckets`` shuffle partitions instead of
+    melting one reducer. Default path is a single full-outer join and lets
+    AQE's skew-split handle residual imbalance."""
     t0 = time.monotonic()
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     cols = table.schema.fieldNames()
@@ -110,23 +118,44 @@ def merge_scd1(
     target_aff = table.read_files(spark, affected)
 
     src = F.broadcast(source) if broadcast_source else source
-    key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
-    joined = target_aff.alias("t").join(src.alias("s"), on=key_eq, how="full_outer")
-
     is_insert = F.col(f"t.{key_cols[0]}").isNull()
     s_present = F.col(f"s.{key_cols[0]}").isNotNull()
     changed = _changed_expr(tracked)
     # source values only for inserts and matched-and-changed rows; a target
     # row with no source match sees changed=true vs all-null s.* — guard it
     take_source = s_present & (is_insert | changed)
-    result = joined.select(
-        *[
-            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            if c not in key_cols
-            else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-            for c in cols
-        ]
-    )
+
+    if salt_buckets:
+        from .salting import salted_equi_join
+
+        take_src_upd = s_present & changed
+        updated = salted_equi_join(
+            target_aff.alias("t"), src.alias("s"), key_cols, how="left", buckets=salt_buckets
+        ).select(
+            *[
+                F.when(take_src_upd, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                if c not in key_cols
+                else F.col(c)  # join-key columns are deduplicated by the on-list
+                for c in cols
+            ]
+        )
+        # inserts: anti join against DISTINCT target keys (collapses hot
+        # duplicates before the shuffle)
+        inserts = src.join(
+            target_aff.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        ).select(*cols)
+        result = updated.unionByName(inserts)
+    else:
+        key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+        joined = target_aff.alias("t").join(src.alias("s"), on=key_eq, how="full_outer")
+        result = joined.select(
+            *[
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                if c not in key_cols
+                else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+                for c in cols
+            ]
+        )
 
     out_files = table.write_datafiles(result)
     sid = table.commit(

@@ -129,3 +129,26 @@ def test_scd2_versions(spark, tmp_path):
     )
     assert t.scan(spark).count() == 4
     assert t.scan(spark).filter("is_current").count() == 3
+
+
+def test_scd1_salted_equals_unsalted(spark, tmp_path):
+    """Hot-duplicate-key target: salted path must produce identical content."""
+    # target with one hot key: 400 duplicate rows of doc-0 + 200 normal rows
+    hot = token_table_df(spark, 400, seed=5).withColumn("doc_id", F.lit("hot-doc"))
+    normal = token_table_df(spark, 200, seed=6)
+    for salt, sub in (("a", hot), ("b", normal)):
+        t = Table.create(str(tmp_path / f"t-{salt}"), TOKEN_SCHEMA)
+        t.append(hot.unionByName(normal))
+        src = token_table_df(spark, 50, seed=9).unionByName(
+            token_table_df(spark, 1, seed=10).withColumn("doc_id", F.lit("hot-doc"))
+        )
+        merge_scd1(
+            spark, t, src, key_cols=["doc_id"],
+            salt_buckets=8 if salt == "a" else None,
+        )
+        if salt == "a":
+            salted_out = content_checksum(t.scan(spark), COLS)
+        else:
+            unsalted_out = content_checksum(t.scan(spark), COLS)
+    assert salted_out == unsalted_out
+    # all 400 hot duplicates updated to the single source payload
