@@ -113,7 +113,23 @@ def cluster(
             .sortWithinPartitions(*table.partition_cols, _KEY)
             .drop(_KEY)
         )
-        out_files = table.write_datafiles(clustered)
+        # write natively executor-side (libzstd) and get manifest entries back
+        # as the job's output — no JVM write path, no post-hoc stats pass
+        import uuid as _uuid
+        from ..table.arrow_io import arrow_rewrite_job
+
+        tracked = [
+            f.name for f in table.schema.fields
+            if f.dataType.typeName() not in ("array", "map", "struct")
+        ]
+        sums = [
+            f.name for f in table.schema.fields
+            if f.dataType.typeName() in ("integer", "long", "float", "double")
+        ]
+        commit_rel = f"data/{_uuid.uuid4().hex}"
+        out_files = arrow_rewrite_job(
+            clustered, table.root, commit_rel, table.partition_cols, tracked, sums
+        )
         seconds = time.monotonic() - t0
 
         # per-partition lineage: split in/out files by identity partition

@@ -147,46 +147,91 @@ def compact(
 
     results = []
 
+    import json as _json
+    import os
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    tracked = [
+        f.name for f in table.schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct")
+    ]
+    sum_cols = [
+        f.name for f in table.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "float", "double")
+    ]
+
     def run_bundle(bundle: list[tuple[str, list[DataFile]]]) -> None:
-        import os
-        import re
-
         t0 = time.monotonic()
-        # one wide job: task i streams the files of bin i through Arrow and
-        # writes exactly one output file — no shuffle (rows never move between
-        # bins), no per-group job latency. spark.range(n, numPartitions=n)
-        # puts exactly value i in partition i, so the task->bin mapping is
-        # exact and recoverable from the part-NNNNN output name.
-        bin_paths = [
-            [os.path.join(table.root, f.path) for f in files] for _, files in bundle
-        ]
-        arrow_schema = None
-        try:
-            from pyspark.sql.pandas.types import to_arrow_schema
+        # one wide job; task i rewrites bin i entirely in native pyarrow
+        # (read small files -> one zstd parquet at its final path) and emits
+        # its manifest entry as data. No shuffle — rows never change bins —
+        # and no JVM data path: byte-exact columnar copy at libzstd speed.
+        table_root = table.root
+        commit_rel = os.path.join("data", _uuid.uuid4().hex)
+        os.makedirs(os.path.join(table_root, commit_rel), exist_ok=True)
+        bin_descs = []
+        for gk, files in bundle:
+            partition = files[0].partition  # bins are partition-pure
+            dirs = "/".join(f"_p_{c}={quote(str(v), safe='')}" for c, v in sorted(partition.items()))
+            bin_descs.append(
+                {
+                    "paths": [os.path.join(table_root, f.path) for f in files],
+                    "partition": partition,
+                    "rel_dir": os.path.join(commit_rel, dirs) if dirs else commit_rel,
+                }
+            )
 
-            arrow_schema = to_arrow_schema(table.schema)
-        except Exception:  # noqa: BLE001 — cast is best-effort; plan still valid
-            pass
-
-        def read_bin(batches):
+        def rewrite(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             for batch in batches:
                 for v in batch.column(0).to_pylist():
-                    tbl = pq.read_table(bin_paths[v])
-                    if arrow_schema is not None:
-                        tbl = tbl.select(arrow_schema.names).cast(arrow_schema)
-                    yield from tbl.to_batches(max_chunksize=16384)
+                    d = bin_descs[v]
+                    tbl = pq.read_table(d["paths"])
+                    os.makedirs(os.path.join(table_root, d["rel_dir"]), exist_ok=True)
+                    rel = os.path.join(d["rel_dir"], f"part-{v:05d}.zstd.parquet")
+                    abs_p = os.path.join(table_root, rel)
+                    pq.write_table(tbl, abs_p, compression="zstd")
+                    stats = {}
+                    for c in tracked:
+                        if c not in tbl.column_names:
+                            continue
+                        col = tbl.column(c)
+                        try:
+                            mm = pc.min_max(col).as_py()
+                        except pa.ArrowNotImplementedError:
+                            continue
+                        stats[c] = {"min": mm["min"], "max": mm["max"], "nulls": col.null_count}
+                        if c in sum_cols:
+                            stats[c]["sum"] = pc.sum(col).as_py()
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "idx": pa.array([v], pa.int64()),
+                            "path": [rel],
+                            "rows": pa.array([tbl.num_rows], pa.int64()),
+                            "bytes": pa.array([os.path.getsize(abs_p)], pa.int64()),
+                            "stats": [_json.dumps(stats, default=str)],
+                        }
+                    )
 
-        desc = spark.range(0, len(bin_paths), numPartitions=len(bin_paths))
-        df = desc.mapInArrow(read_bin, schema=table.schema)
-        out_files = table.write_datafiles(df)
-
-        def task_idx(path: str) -> int:
-            m = re.search(r"part-(\d{5})", path.rsplit("/", 1)[-1])
-            return int(m.group(1)) if m else -1
-
-        by_idx = {task_idx(f.path): f for f in out_files}
+        desc = spark.range(0, len(bin_descs), numPartitions=len(bin_descs))
+        meta = desc.mapInArrow(
+            rewrite, schema="idx long, path string, rows long, bytes long, stats string"
+        ).collect()
+        by_idx = {
+            r["idx"]: DataFile(
+                path=r["path"],
+                partition=bin_descs[r["idx"]]["partition"],
+                rows=r["rows"],
+                bytes=r["bytes"],
+                stats=_json.loads(r["stats"]),
+            )
+            for r in meta
+        }
+        out_files = [by_idx[i] for i in sorted(by_idx)]
         seconds = time.monotonic() - t0
         with commit_mutex:  # snapshot chain is single-writer
             sid = table.commit(
