@@ -119,6 +119,69 @@ def embedding_neardup(spark, sf_dir) -> DataFrame:
     )
 
 
+_IVF_K = 8  # coarse cells; centroids = embeddings of vec_id 0.._IVF_K-1
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             arg_max(c.cid, {_COS_SQL.format(a="e.embedding", b="c.cemb")}) AS cell
+      FROM embeddings e, centroids c
+      GROUP BY e.vec_id, e.label, e.embedding
+    ),
+    qcell AS (SELECT cell FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id, a.label,
+           CAST(floor(1000 * ({_COS_SQL.format(a="q.embedding", b="a.embedding")})) AS BIGINT) AS cos_m
+    FROM assigned a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE a.cell = (SELECT cell FROM qcell) AND a.vec_id <> 0
+    ORDER BY cos_m DESC, a.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF-style ANN scale path: coarse-quantize every vector to its nearest
+    centroid cell (broadcast K centroids, argmax over cosine), then search
+    only the query's cell. At 10^12 scale this turns a full scan into a
+    1/K-cell scan; here the centroid set is deterministic (first K vectors)
+    so the DuckDB oracle reproduces the same approximate result."""
+    e = load(spark, sf_dir, "embeddings")
+    e.createOrReplaceTempView("emb_ivf")
+    cent_df = e.filter(f"vec_id < {_IVF_K}").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cent_df.createOrReplaceTempView("cent_ivf")
+    dot = (
+        "aggregate(zip_with(e.embedding, c.cemb, (x, y) -> cast(x AS double) * cast(y AS double)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    na = "aggregate(e.embedding, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
+    nb = "aggregate(c.cemb, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
+    cos_ec = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    assigned = spark.sql(
+        f"""
+        SELECT e.vec_id, e.label, e.embedding,
+               max_by(c.cid, {cos_ec}) AS cell
+        FROM emb_ivf e CROSS JOIN cent_ivf c
+        GROUP BY e.vec_id, e.label, e.embedding
+        """
+    )
+    q = assigned.filter("vec_id = 0").select(
+        F.col("cell").alias("qcell"), F.col("embedding").alias("q_emb")
+    )
+    cos_q = _cosine_expr("q_emb", "embedding")
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.floor(1000 * cos_q).cast("long").alias("cos_m"))
+        .orderBy(F.col("cos_m").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def _hyperplanes() -> np.ndarray:
     """Deterministic ±1 hyperplanes from md5 parities — reproducible in SQL."""
     w = np.empty((_PLANES, _DIM), dtype=np.float64)

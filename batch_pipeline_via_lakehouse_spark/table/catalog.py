@@ -269,3 +269,41 @@ class Table:
     ) -> DataFrame:
         df = self.read_files(spark, self.live_files(snapshot_id))
         return df.select(*columns) if columns else df
+
+    # --------------------------------------------------------- metadata tables
+    def metadata_df(self, spark: SparkSession, name: str) -> DataFrame:
+        """Queryable metadata tables — the engine analogue of Iceberg's
+        `tbl$snapshots` / `tbl$files` the reference inspects in
+        `notebooks/iceberg_curd/create_iceberg_table.ipynb` cells 9-11."""
+        if name == "snapshots":
+            rows = [
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.operation,
+                    s.timestamp_ms,
+                    json.dumps(s.summary, default=str),
+                    len(s.manifests),
+                )
+                for s in self.snapshots()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, operation string, "
+                "timestamp_ms long, summary string, n_manifests int",
+            )
+        if name == "files":
+            rows = [
+                (
+                    f.path,
+                    json.dumps(f.partition, sort_keys=True),
+                    f.rows,
+                    f.bytes,
+                    json.dumps(f.stats, default=str),
+                )
+                for f in self.live_files()
+            ]
+            return spark.createDataFrame(
+                rows, "path string, partition string, rows long, bytes long, stats string"
+            )
+        raise ValueError(f"unknown metadata table {name!r} (snapshots|files)")

@@ -61,3 +61,16 @@ def test_generator_deterministic(spark):
     b = token_table_df(spark, 200, seed=42, num_partitions=7)
     assert _tok_checksum(a) == _tok_checksum(b)
     assert a.schema == TOKEN_SCHEMA
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA, partition_by=["source"])
+    t.append(token_table_df(spark, 100, seed=1), num_files=2)
+    t.append(token_table_df(spark, 50, seed=2, start=100))
+    snaps = t.metadata_df(spark, "snapshots")
+    assert snaps.count() == 2
+    assert [r["operation"] for r in snaps.orderBy("snapshot_id").collect()] == ["append", "append"]
+    files = t.metadata_df(spark, "files")
+    assert files.count() == len(t.live_files())
+    total = files.agg({"rows": "sum"}).collect()[0][0]
+    assert total == 150
