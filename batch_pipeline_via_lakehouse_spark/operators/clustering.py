@@ -22,6 +22,9 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -99,22 +102,109 @@ def cluster(
         bundle_bytes[i] += sum(f.bytes for f in pfiles)
     bundles = [b for b in bundles if b]
 
+    dims = [c for c in hash_cols if c not in part_cols]
+    key = cluster_key_column(mode, numeric_col, dims, lo, hi, impl=key_impl)
+
+    # --- range bounds WITHOUT Spark's sampling pass ------------------------
+    # repartitionByRange's sampler materializes full rows (token arrays
+    # included) in an extra pass — measured ~4x the cost of the shuffle
+    # itself. Instead: one column-pruned aggregate computes per-partition
+    # zkey quantiles (reads only the key's input columns), rows get an exact
+    # range-cell id from those bounds, and a plain hash shuffle on the cell
+    # id moves each row once. The Arrow writer splits tasks per cell, so
+    # every output file still covers one tight zkey range.
+    _QUANT = 128
+    probs = [i / _QUANT for i in range(1, _QUANT)]
+    todo_pks = {pk for b in bundles for pk, _ in b}
+    all_files = [f for b in bundles for _, fl in b for f in fl]
+    slim = table.read_files(spark, all_files).withColumn(_KEY, key)
+    grp = slim.groupBy(*table.partition_cols) if table.partition_cols else slim.groupBy()
+    qrows = grp.agg(F.percentile_approx(_KEY, probs, 10_000).alias("q")).collect()
+
+    def pk_of(row) -> str:
+        import json as _json
+
+        return _json.dumps({c: str(row[c]) for c in table.partition_cols}, sort_keys=True)
+
+    bounds_by_pk: dict[str, list[int]] = {}
+    for r in qrows:
+        pk = pk_of(r)
+        if pk not in todo_pks:
+            continue
+        nb = max(1, round(sum(f.bytes for f in by_part[pk]) / target_bytes))
+        qs = [int(v) for v in (r["q"] or [])]
+        step = max(1, len(qs) // nb) if nb > 1 else len(qs) + 1
+        bounds_by_pk[pk] = qs[step - 1 :: step][: nb - 1] if nb > 1 else []
+
+    def pid_expr() -> F.Column:
+        """Vectorized range-cell assignment: np.searchsorted against each
+        partition's bounds (an Arrow pandas UDF — a 20-partition × 40-bound
+        CASE/aggregate expression tree would blow past codegen limits and
+        fall back to per-row interpretation)."""
+        import json as _json
+
+        from pyspark.sql.functions import pandas_udf
+
+        part_cols_l = list(table.partition_cols)
+        bounds_arr = {
+            tuple(_json.loads(pk).get(c) for c in part_cols_l): np.array(b, dtype=np.int64)
+            for pk, b in bounds_by_pk.items()
+        }
+
+        def assign(key: pd.Series, pcols: list[pd.Series]) -> pd.Series:
+            out = np.zeros(len(key), dtype=np.int32)
+            k = key.to_numpy(dtype=np.int64)
+            pvals = pd.MultiIndex.from_arrays([p.astype(str) for p in pcols])
+            codes, uniques = pd.factorize(pvals)
+            for ui, u in enumerate(uniques):
+                b = bounds_arr.get(u if isinstance(u, tuple) else (u,))
+                if b is None or len(b) == 0:
+                    continue
+                mask = codes == ui
+                out[mask] = np.searchsorted(b, k[mask], side="left")
+            return pd.Series(out)
+
+        if len(part_cols_l) == 1:
+
+            @pandas_udf("int")
+            def pid_udf1(key: pd.Series, p0: pd.Series) -> pd.Series:
+                return assign(key, [p0])
+
+            return pid_udf1(F.col(_KEY), F.col(part_cols_l[0]))
+
+        if len(part_cols_l) == 2:
+
+            @pandas_udf("int")
+            def pid_udf2(key: pd.Series, p0: pd.Series, p1: pd.Series) -> pd.Series:
+                return assign(key, [p0, p1])
+
+            return pid_udf2(F.col(_KEY), F.col(part_cols_l[0]), F.col(part_cols_l[1]))
+
+        if part_cols_l:
+            raise NotImplementedError("clustering supports at most 2 identity-partition columns")
+
+        b_global = next(iter(bounds_arr.values()), np.array([], dtype=np.int64))
+
+        @pandas_udf("int")
+        def pid_udf0(key: pd.Series) -> pd.Series:
+            if len(b_global) == 0:
+                return pd.Series(np.zeros(len(key), dtype=np.int32))
+            return pd.Series(
+                np.searchsorted(b_global, key.to_numpy(dtype=np.int64), side="left").astype(np.int32)
+            )
+
+        return pid_udf0(F.col(_KEY))
+
     def run_bundle(bundle: list[tuple[str, list[DataFile]]]) -> list[dict]:
         t0 = time.monotonic()
         pfiles = [f for _, files in bundle for f in files]
-        dims = [c for c in hash_cols if c not in part_cols]
-        key = cluster_key_column(mode, numeric_col, dims, lo, hi, impl=key_impl)
-        df = table.read_files(spark, pfiles).withColumn(_KEY, key)
-        total_bytes = sum(f.bytes for f in pfiles)
-        num_out = max(1, round(total_bytes / target_bytes))
-        range_cols = [F.col(c) for c in table.partition_cols] + [F.col(_KEY)]
-        clustered = (
-            df.repartitionByRange(num_out, *range_cols)
-            .sortWithinPartitions(*table.partition_cols, _KEY)
-            .drop(_KEY)
+        df = (
+            table.read_files(spark, pfiles)
+            .withColumn(_KEY, key)
+            .withColumn("_pid", pid_expr())
         )
-        # write natively executor-side (libzstd) and get manifest entries back
-        # as the job's output — no JVM write path, no post-hoc stats pass
+        n_cells = sum(len(bounds_by_pk.get(pk, [])) + 1 for pk, _ in bundle)
+        shuffled = df.repartition(max(1, n_cells), *table.partition_cols, F.col("_pid"))
         import uuid as _uuid
         from ..table.arrow_io import arrow_rewrite_job
 
@@ -128,7 +218,15 @@ def cluster(
         ]
         commit_rel = f"data/{_uuid.uuid4().hex}"
         out_files = arrow_rewrite_job(
-            clustered, table.root, commit_rel, table.partition_cols, tracked, sums
+            shuffled,
+            table.root,
+            commit_rel,
+            table.partition_cols,
+            tracked,
+            sums,
+            sort_by=[*table.partition_cols, _KEY],
+            drop_cols=[_KEY],
+            split_extra_cols=["_pid"],
         )
         seconds = time.monotonic() - t0
 

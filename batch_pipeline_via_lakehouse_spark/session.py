@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Arrow IPC at high task counts: default 10k-row batches become ~50MB
+        # humongous G1 allocations whose JNI critical sections stall every
+        # thread on GCLocker retries ("Retried waiting for GCLocker too
+        # often"). Smaller batches + larger G1 regions keep them ordinary.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # same humongous-allocation issue from the parquet vectorized reader:
+        # 4096-row default batches of array<int> rows (up to 32KB each) are
+        # ~60-130MB allocations — cap the batch so they stay ordinary objects
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m -XX:+UnlockDiagnosticVMOptions",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

@@ -54,11 +54,24 @@ def arrow_rewrite_job(
     tracked: list[str],
     sum_cols: list[str],
     zstd_level: int = 3,
+    sort_by: list[str] | None = None,
+    drop_cols: list[str] | None = None,
+    split_extra_cols: list[str] | None = None,
 ) -> list[DataFile]:
-    """Write ``df`` (already partitioned/sorted the way the caller wants) as
-    one native-parquet file per (task, identity-partition value); returns
-    manifest entries. The whole rewrite is ONE Spark job."""
+    """Write ``df`` (already partitioned the way the caller wants) as one
+    native-parquet file per (task, identity-partition value); returns
+    manifest entries. The whole rewrite is ONE Spark job.
+
+    ``sort_by`` sorts each task's table Arrow-side before writing — cheaper
+    than a JVM sortWithinPartitions for maintenance rewrites because the data
+    is leaving for Python anyway and the JVM sort's unsafe buffers are what
+    drive GC pressure at high task counts. ``drop_cols`` removes transient
+    key columns after the sort. ``split_extra_cols`` additionally split the
+    task's output into one file per value group (e.g. precomputed range-cell
+    ids) without appearing in the partition path or the output schema."""
     from urllib.parse import quote
+
+    split_cols = [*partition_cols, *(split_extra_cols or [])]
 
     def task(batches: Iterator) -> Iterator:
         import numpy as np
@@ -71,10 +84,12 @@ def arrow_rewrite_job(
         if not batch_list:
             return
         tbl = pa.Table.from_batches(batch_list)
+        if sort_by:
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_by])
 
-        if partition_cols:
-            keys = tbl.select(partition_cols).to_pandas()
-            groups = keys.groupby(partition_cols, sort=True, dropna=False).indices
+        if split_cols:
+            keys = tbl.select(split_cols).to_pandas()
+            groups = keys.groupby(split_cols, sort=True, dropna=False).indices
             parts = []
             for pv, idx in groups.items():
                 pv_tuple = pv if isinstance(pv, tuple) else (pv,)
@@ -83,12 +98,18 @@ def arrow_rewrite_job(
             parts = [((), tbl)]
 
         out = []
-        for pv_tuple, sub in parts:
-            partition = dict(zip(partition_cols, [str(v) for v in pv_tuple]))
+        for seq, (pv_tuple, sub) in enumerate(parts):
+            if drop_cols:
+                sub = sub.drop_columns(drop_cols)
+            if split_extra_cols:
+                sub = sub.drop_columns([c for c in split_extra_cols if c in sub.column_names])
+            partition = dict(
+                zip(partition_cols, [str(v) for v in pv_tuple[: len(partition_cols)]])
+            )
             dirs = "/".join(f"_p_{c}={quote(str(v), safe='')}" for c, v in partition.items())
             rel_dir = os.path.join(commit_dir, dirs) if dirs else commit_dir
             os.makedirs(os.path.join(table_root, rel_dir), exist_ok=True)
-            rel_path = os.path.join(rel_dir, f"part-{tid:05d}.zstd.parquet")
+            rel_path = os.path.join(rel_dir, f"part-{tid:05d}-{seq:03d}.zstd.parquet")
             abs_path = os.path.join(table_root, rel_path)
             pq.write_table(
                 sub, abs_path, compression="zstd", compression_level=zstd_level
