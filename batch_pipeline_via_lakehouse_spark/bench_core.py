@@ -42,7 +42,7 @@ def run_maintenance_bench(
     t = Table.create(table_dir, TOKEN_SCHEMA, partition_by=["source"])
 
     t0 = time.monotonic()
-    t.append(token_table_df(spark, n_rows, seed=seed), num_files=fragment_files)
+    t.append_native(token_table_df(spark, n_rows, seed=seed), num_files=fragment_files)
     t_ingest = time.monotonic() - t0
 
     total_tokens = int(

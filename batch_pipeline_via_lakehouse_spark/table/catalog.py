@@ -249,6 +249,29 @@ class Table:
         files = self.write_datafiles(df, num_files=num_files)
         return self.commit(files, set(), "append")
 
+    def append_native(self, df: DataFrame, num_files: int | None = None) -> int:
+        """Append via executor-side native parquet writes (table/arrow_io):
+        tasks write their own zstd files and return manifest entries — no JVM
+        writer, no post-hoc stats pass. Same commit semantics as append()."""
+        from .arrow_io import arrow_rewrite_job
+
+        out = conform_schema(df, self.schema)
+        if num_files:
+            out = out.repartition(num_files)
+        tracked = [
+            f.name for f in self.schema.fields
+            if f.dataType.typeName() not in ("array", "map", "struct")
+        ]
+        sums = [
+            f.name for f in self.schema.fields
+            if f.dataType.typeName() in ("integer", "long", "float", "double")
+        ]
+        files = arrow_rewrite_job(
+            out, self.root, os.path.join("data", uuid.uuid4().hex),
+            self.partition_cols, tracked, sums,
+        )
+        return self.commit(files, set(), "append")
+
     def overwrite(self, df: DataFrame, num_files: int | None = None) -> int:
         files = self.write_datafiles(df, num_files=num_files)
         removed = {f.path for f in self.live_files()}

@@ -74,3 +74,14 @@ def test_metadata_tables(spark, tmp_path):
     assert files.count() == len(t.live_files())
     total = files.agg({"rows": "sum"}).collect()[0][0]
     assert total == 150
+
+
+def test_append_native_equals_append(spark, tmp_path):
+    a = Table.create(str(tmp_path / "a"), TOKEN_SCHEMA, partition_by=["source"])
+    b = Table.create(str(tmp_path / "b"), TOKEN_SCHEMA, partition_by=["source"])
+    df = token_table_df(spark, 400, seed=21)
+    a.append(df, num_files=3)
+    b.append_native(df, num_files=3)
+    assert _tok_checksum(a.scan(spark)) == _tok_checksum(b.scan(spark))
+    fb = b.live_files()[0]
+    assert fb.partition.get("source") and fb.stat("n_tok", "sum") is not None
