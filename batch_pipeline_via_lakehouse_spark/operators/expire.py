@@ -29,10 +29,16 @@ def expire_snapshots(
     retain_last: int = 1,
     older_than_ms: int | None = None,
     gc: bool = True,
-    gc_grace_ms: int = 0,
+    gc_grace_ms: int = 24 * 3600 * 1000,
 ) -> dict:
     """Expire snapshots outside the retention policy; optionally GC files that
-    only they referenced. Returns a report of what was removed."""
+    only they referenced. Returns a report of what was removed.
+
+    ``gc_grace_ms`` defaults to the same 24h window as ``gc_orphans`` so a
+    concurrent in-flight writer's uncommitted files survive; pass 0 only when
+    no writer is running. Stream batch ids recorded in expired snapshot
+    summaries are folded into the persistent stream-state watermark first, so
+    the streaming sink's exactly-once dedup survives expiry."""
     snaps = table.snapshots()
     current = table.current_snapshot_id()
     if not snaps:
@@ -45,6 +51,23 @@ def expire_snapshots(
         keep |= {s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms}
 
     expired = [s for s in snaps if s.snapshot_id not in keep]
+
+    # preserve exactly-once stream dedup across expiry: fold each expired
+    # snapshot's stream batch id into the persistent per-query max watermark
+    from ..streaming.sink import load_stream_state, save_stream_state
+
+    state = load_stream_state(table)
+    dirty = False
+    for s in expired:
+        q = s.summary.get("stream-query")
+        if q is not None and "stream-batch-id" in s.summary:
+            bid = int(s.summary["stream-batch-id"])
+            if bid > state.get(q, -1):
+                state[q] = bid
+                dirty = True
+    if dirty:
+        save_stream_state(table, state)
+
     for s in expired:
         os.remove(os.path.join(table.metadata_dir, f"snap-{s.snapshot_id}.json"))
 

@@ -60,15 +60,28 @@ def _affected_files(
     live = table.live_files(snapshot_id)
     if not live:
         return [], []
+    # planning must classify files with the SAME match semantics the rewrite
+    # uses (null-safe <=>): an on=key_cols semi-join would drop null-key
+    # matches, mis-classify their file as untouched, and duplicate the key
+    null_safe = F.lit(True)
+    for k in key_cols:
+        null_safe = null_safe & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
     keys_with_file = (
         table.read_files(spark, live)
         .select(*key_cols, F.input_file_name().alias("_file"))
-        .join(source.select(*key_cols).distinct(), on=key_cols, how="left_semi")
+        .alias("t")
+        .join(source.select(*key_cols).distinct().alias("s"), on=null_safe, how="left_semi")
     )
     hit_paths = {r["_file"] for r in keys_with_file.select("_file").distinct().collect()}
 
+    from urllib.parse import unquote, urlparse
+
     def norm(p: str) -> str:
-        return p.removeprefix("file://")
+        # input_file_name() yields a percent-encoded URI; decode it before
+        # comparing against manifest-relative paths (partition values with
+        # spaces/special chars would otherwise never match)
+        u = urlparse(p)
+        return unquote(u.path) if u.scheme else p
 
     import os
 
@@ -115,22 +128,49 @@ def merge_scd1(
 
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
-    target_aff = table.read_files(spark, affected)
+    # presence markers: with null-safe key matching a NULL key can be a real
+    # match, so "did the other side match?" must come from a never-null
+    # marker column, not from the (nullable) key itself
+    target_aff = table.read_files(spark, affected).withColumn("_t", F.lit(True))
+    source = source.withColumn("_s", F.lit(True))
 
-    src = F.broadcast(source) if broadcast_source else source
-    is_insert = F.col(f"t.{key_cols[0]}").isNull()
-    s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    is_insert = F.col("t._t").isNull()
+    s_present = F.col("s._s").isNotNull()
     changed = _changed_expr(tracked)
     # source values only for inserts and matched-and-changed rows; a target
     # row with no source match sees changed=true vs all-null s.* — guard it
     take_source = s_present & (is_insert | changed)
 
+    def _full_outer_rewrite(t_df: DataFrame, s_df: DataFrame) -> DataFrame:
+        key_eq = F.lit(True)
+        for k in key_cols:
+            key_eq = key_eq & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        joined = t_df.alias("t").join(s_df.alias("s"), on=key_eq, how="full_outer")
+        return joined.select(
+            *[
+                F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+                if c in key_cols
+                else F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+
     if salt_buckets:
         from .salting import salted_equi_join
 
+        # null-key rows can't ride the salted on-list join (null != null
+        # there); route them through the null-safe full-outer rewrite — after
+        # source dedup that subset is at most one source row per null pattern
+        null_key = F.lit(False)
+        for k in key_cols:
+            null_key = null_key | F.col(k).isNull()
+        t_nn, t_null = target_aff.filter(~null_key), target_aff.filter(null_key)
+        s_nn, s_null = source.filter(~null_key), source.filter(null_key)
+        s_nn_j = F.broadcast(s_nn) if broadcast_source else s_nn
+
         take_src_upd = s_present & changed
         updated = salted_equi_join(
-            target_aff.alias("t"), src.alias("s"), key_cols, how="left", buckets=salt_buckets
+            t_nn.alias("t"), s_nn_j.alias("s"), key_cols, how="left", buckets=salt_buckets
         ).select(
             *[
                 F.when(take_src_upd, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
@@ -141,21 +181,15 @@ def merge_scd1(
         )
         # inserts: anti join against DISTINCT target keys (collapses hot
         # duplicates before the shuffle)
-        inserts = src.join(
-            target_aff.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        inserts = s_nn.join(
+            t_nn.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         ).select(*cols)
-        result = updated.unionByName(inserts)
-    else:
-        key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
-        joined = target_aff.alias("t").join(src.alias("s"), on=key_eq, how="full_outer")
-        result = joined.select(
-            *[
-                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                if c not in key_cols
-                else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-                for c in cols
-            ]
+        result = updated.unionByName(inserts).unionByName(
+            _full_outer_rewrite(t_null, s_null)
         )
+    else:
+        src = F.broadcast(source) if broadcast_source else source
+        result = _full_outer_rewrite(target_aff, src)
 
     out_files = table.write_datafiles(result)
     sid = table.commit(
@@ -212,11 +246,14 @@ def merge_scd2(
 
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
-    target_aff = table.read_files(spark, affected)
+    # never-null presence markers (see merge_scd1): with eqNullSafe matching,
+    # a NULL key can be a genuine match, so presence tests can't use the key
+    target_aff = table.read_files(spark, affected).withColumn("_t", F.lit(True))
+    source = source.withColumn("_s", F.lit(True))
 
     key_eq = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
     changed = _changed_expr(tracked_cols)
-    s_missing = F.col(f"s.{key_cols[0]}").isNull()
+    s_missing = F.col("s._s").isNull()
 
     # pass 1 equivalent: close matched-and-changed CURRENT rows, carry the rest
     close_row = ~s_missing & F.col("t.is_current") & changed
@@ -232,7 +269,7 @@ def merge_scd2(
     )
     # pass 2 equivalent: insert a new current version when the key has no
     # current row (new key, or every version already closed) or it changed
-    cur_missing = F.col(f"t.{key_cols[0]}").isNull()
+    cur_missing = F.col("t._t").isNull()
     inserts = (
         source.alias("s")
         .join(target_aff.filter(F.col("is_current")).alias("t"), on=key_eq, how="left_outer")

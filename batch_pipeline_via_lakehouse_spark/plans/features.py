@@ -31,7 +31,8 @@ _FEATURE_SCHEMA = (
 def _feature_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "event_id"])
     v = pdf["value"]
-    ret = v.pct_change()
+    # prev==0 -> pct_change yields ±inf; mask to NA (oracle NULLIFs the divisor)
+    ret = v.pct_change().replace([np.inf, -np.inf], np.nan)
     # rolling mean in exact integer cents: float sliding-window accumulation
     # orders differ between pandas and SQL windows, integers do not
     cents = (v * 100).round()
@@ -53,7 +54,7 @@ def _feature_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     "grouped_features",
     oracle="""
     SELECT event_id, user_id,
-           CAST(floor(1000.0 * (value / lag(value) OVER w - 1.0)) AS BIGINT) AS value_return_m,
+           CAST(floor(1000.0 * (value / NULLIF(lag(value) OVER w, 0) - 1.0)) AS BIGINT) AS value_return_m,
            CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                       * 1.0 / count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma5_c,
            CAST(floor(100.0 * max(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cummax_c
@@ -93,7 +94,7 @@ def _ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 @query("ema_features")  # no SQL oracle: ewm/RSI are pandas-only (rows-only check)
 def ema_features(spark, sf_dir) -> DataFrame:
     """EMA + RSI per user (reference-exact pandas pieces, W5) — validated
-    against a driver-side pandas oracle in tests/test_features.py."""
+    against a driver-side pandas oracle in tests/test_queries_oracle.py."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").applyInPandas(
         _ema_fn, schema="event_id long, user_id long, ema10 double, rsi14 double"

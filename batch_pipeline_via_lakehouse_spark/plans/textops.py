@@ -90,7 +90,7 @@ def _langid_oracle() -> str:
       FROM words GROUP BY doc_id
     )
     SELECT doc_id, {pick.replace('best', best)} AS predicted_lang,
-           {best} AS stopword_hits
+           CAST({best} AS BIGINT) AS stopword_hits
     FROM hits
     """
 
@@ -179,14 +179,24 @@ _GRAMS_SQL = r"""
 """
 
 
+_DF_CAP = 64  # shingle document-frequency cap: a shingle in > _DF_CAP docs is
+# boilerplate, and its inverted-index bucket would be a k^2 quadratic bomb on
+# one shuffle key at 10^12 rows — production near-dup pipelines drop them.
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_GRAMS_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    fgrams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams
+      ) WHERE df <= {_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fgrams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM fgrams a JOIN fgrams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT d1, d2,
@@ -200,11 +210,20 @@ _GRAMS_SQL = r"""
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact near-dup pairs: word-3gram Jaccard >= 0.8 via a shingle
     inverted-index equi-join (no O(n^2) cross join; candidates only where a
-    shingle is shared — the shuffle key is the shingle)."""
+    shingle is shared — the shuffle key is the shingle). Shingles with
+    document frequency > _DF_CAP are dropped before the self-join (both in
+    the numerator and the per-doc sizes, mirrored in the oracle): one hot
+    boilerplate shingle shared by k docs would otherwise emit k^2 candidate
+    rows on a single shuffle key."""
     d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
     grams = (
         d.select("doc_id", words_col().alias("w"))
         .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("df") <= _DF_CAP)
+        .drop("df")
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -279,26 +298,40 @@ def minhash_signature(spark, sf_dir) -> DataFrame:
 )
 def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (4 bands x 2 rows),
-    equi-join on band key. This is the scale path for near-dedup: candidate
-    generation is a hash join on band keys, never a cross join."""
+    bucket on band key, emit in-bucket pairs. This is the scale path for
+    near-dedup: candidate generation is a groupBy on band keys, never a
+    cross join.
+
+    Single-pass shape: the signature aggregation runs ONCE — bands come from
+    exploding an array of (band, key) structs (not a 4-branch union, which
+    Catalyst would evaluate 4x), and pairs come from sorting each bucket's
+    doc ids and expanding i<j combinations with SQL lambdas (not a
+    self-join, which would evaluate the aggregation on both sides)."""
     sig = minhash_signature(spark, sf_dir)
-    bands = None
-    for i in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(i).alias("band"),
-            F.concat_ws("_", F.col(f"m{2*i}"), F.col(f"m{2*i+1}")).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, b = bands.alias("a"), bands.alias("b")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws("_", F.col(f"m{2*i}"), F.col(f"m{2*i+1}")).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
 

@@ -16,10 +16,14 @@ broker), so it is a thin, documented builder only.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..table.catalog import Table
+from ..table.format import atomic_write
 
 
 def committed_batch_ids(table: Table, query_name: str) -> set[int]:
@@ -28,6 +32,32 @@ def committed_batch_ids(table: Table, query_name: str) -> set[int]:
         for s in table.snapshots()
         if s.summary.get("stream-query") == query_name and "stream-batch-id" in s.summary
     }
+
+
+def _stream_state_path(table: Table) -> str:
+    return os.path.join(table.metadata_dir, "stream-state.json")
+
+
+def load_stream_state(table: Table) -> dict[str, int]:
+    """query_name -> highest batch id whose snapshot record has been expired.
+    Snapshot expiry folds batch ids here so the exactly-once dedup survives
+    metadata retention (batch ids are monotonic, so a max watermark is a
+    complete record of what expired)."""
+    p = _stream_state_path(table)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def save_stream_state(table: Table, state: dict[str, int]) -> None:
+    atomic_write(_stream_state_path(table), json.dumps(state, indent=2, sort_keys=True))
+
+
+def is_batch_committed(table: Table, query_name: str, batch_id: int) -> bool:
+    if batch_id <= load_stream_state(table).get(query_name, -1):
+        return True
+    return batch_id in committed_batch_ids(table, query_name)
 
 
 def stream_append(
@@ -46,7 +76,7 @@ def stream_append(
     drop its early batches as 'already committed'."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table, query_name):
+        if is_batch_committed(table, query_name, batch_id):
             return  # replayed micro-batch after restart — already committed
         files = table.write_datafiles(batch_df, num_files=num_files)
         if files:

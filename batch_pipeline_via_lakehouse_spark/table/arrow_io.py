@@ -26,6 +26,8 @@ _META_SCHEMA = "path string, partition string, rows long, bytes long, stats stri
 def _arrow_stats(tbl, tracked: list[str], sum_cols: list[str]) -> dict:
     import pyarrow.compute as pc
 
+    from .stats import _jsonable
+
     stats: dict[str, dict] = {}
     for name in tracked:
         if name not in tbl.column_names:
@@ -33,15 +35,18 @@ def _arrow_stats(tbl, tracked: list[str], sum_cols: list[str]) -> dict:
         col = tbl.column(name)
         try:
             mm = pc.min_max(col).as_py()
+            # normalize through the SAME serializer the footer-stats path
+            # uses (isoformat datetimes): manifests must never mix value
+            # encodings or string comparisons in Pred.may_match mis-order
             entry = {
-                "min": mm["min"],
-                "max": mm["max"],
+                "min": _jsonable(mm["min"]),
+                "max": _jsonable(mm["max"]),
                 "nulls": col.null_count,
             }
         except Exception:  # noqa: BLE001 — unorderable type: keep file, no pruning
             continue
         if name in sum_cols:
-            entry["sum"] = pc.sum(col).as_py()
+            entry["sum"] = _jsonable(pc.sum(col).as_py())
         stats[name] = entry
     return stats
 

@@ -80,3 +80,26 @@ def test_rewrite_manifests_metadata_only(spark, tmp_path):
     assert content_checksum(t.scan(spark)) == content
     # pre-rewrite snapshot still readable (metadata-only commit)
     assert content_checksum(t.scan(spark, snapshot_id=r["snapshot"] - 1)) == content
+
+
+def test_expiry_preserves_stream_dedup_watermark(spark, tmp_path):
+    """Expiring snapshots must not forget committed stream batch ids: the
+    max batch id per query folds into stream-state.json and
+    is_batch_committed still answers true."""
+    from batch_pipeline_via_lakehouse_spark.streaming.sink import (
+        is_batch_committed,
+        load_stream_state,
+    )
+
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    for bid in range(3):
+        files = t.write_datafiles(token_table_df(spark, 5, seed=bid))
+        t.commit(files, set(), "append", {"stream-query": "q1", "stream-batch-id": bid})
+    assert is_batch_committed(t, "q1", 1)
+
+    expire_snapshots(t, retain_last=1, gc=True, gc_grace_ms=0)
+    # snapshots 1,2 are gone from metadata, but dedup must survive
+    assert load_stream_state(t).get("q1") == 1  # max expired batch id
+    for bid in range(3):
+        assert is_batch_committed(t, "q1", bid)
+    assert not is_batch_committed(t, "q1", 3)

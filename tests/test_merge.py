@@ -152,3 +152,26 @@ def test_scd1_salted_equals_unsalted(spark, tmp_path):
             unsalted_out = content_checksum(t.scan(spark), COLS)
     assert salted_out == unsalted_out
     # all 400 hot duplicates updated to the single source payload
+
+
+def test_scd1_null_key_updates_not_duplicates(spark, tmp_path):
+    """Planning must be null-safe like the rewrite: a target file whose only
+    match is a null-key row must be classified affected, so the null-key
+    source row UPDATES it instead of being inserted as a duplicate."""
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    base = token_table_df(spark, 20, seed=4)
+    with_null = base.unionByName(
+        token_table_df(spark, 1, seed=41).withColumn("doc_id", F.lit(None).cast("string"))
+    )
+    t.append(with_null)
+    assert t.scan(spark).count() == 21
+
+    src = token_table_df(spark, 1, seed=42).withColumn(
+        "doc_id", F.lit(None).cast("string")
+    ).withColumn("source", F.lit("updated-src"))
+    r = merge_scd1(spark, t, src, key_cols=["doc_id"])
+    got = t.scan(spark)
+    assert got.count() == 21, "null-key row must update in place, not duplicate"
+    assert got.filter(F.col("doc_id").isNull()).count() == 1
+    assert got.filter(F.col("doc_id").isNull()).select("source").first()[0] == "updated-src"
+    assert r["affected_files"] >= 1

@@ -1,0 +1,89 @@
+"""Scale-shape assertions for the near-dup text operators.
+
+These tests pin the PLAN, not just the output: the LSH pipeline must compute
+the expensive grams aggregation exactly once, and the Jaccard inverted index
+must survive a corpus where one boilerplate shingle is shared by every doc.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from batch_pipeline_via_lakehouse_spark.plans.textops import (
+    _DF_CAP,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_plan_has_single_grams_aggregation(spark):
+    """The banding must not replicate the minhash signature aggregation:
+    one explode-of-band-structs pass, not a 4-branch union (4x agg) or a
+    self-join (2x agg)."""
+    df = minhash_lsh_pairs(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # each evaluation of the signature aggregation shows up as one Aggregate
+    # over the grams explode; count the minhash salt expressions ("0:" salt)
+    n_sig_aggs = plan.count("0:")
+    assert n_sig_aggs == 1, f"signature aggregation appears {n_sig_aggs}x in plan:\n{plan[:4000]}"
+    # and there is no join anywhere: pairs come from in-bucket expansion
+    assert "Join" not in plan
+
+
+def test_lsh_pairs_match_reference_semantics(spark):
+    """In-bucket pair expansion == the naive band self-join, bit for bit."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import minhash_signature
+
+    sig = minhash_signature(spark, SF_DIR)
+    bands = None
+    for i in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.concat_ws("_", F.col(f"m{2*i}"), F.col(f"m{2*i+1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    got = {(r.d1, r.d2) for r in minhash_lsh_pairs(spark, SF_DIR).collect()}
+    exp = {(r.d1, r.d2) for r in naive.collect()}
+    assert got == exp
+
+
+def test_jaccard_survives_hot_shingle(spark, tmp_path):
+    """A shingle shared by ALL docs must not produce an n^2 candidate blowup:
+    the df cap drops it before the self-join, and near-dup pairs that share
+    real (rare) shingles are still found."""
+    n = _DF_CAP * 3  # hot shingle df = 3x the cap
+    hot = "the quick brown"  # one trigram shared by every doc
+    rows = []
+    for i in range(n):
+        # docs 0 and 1 are near-identical (share their unique tail trigrams)
+        tail = "alpha beta gamma delta epsilon" if i <= 1 else f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e"
+        rows.append((i, f"{hot} {tail}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    # the loader reads {sf_dir}/documents.parquet
+    pairs = ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    got = {(r.d1, r.d2) for r in pairs}
+    # docs 0,1: grams after hot-drop = identical 6-shingle tails -> jaccard 1.0
+    assert (0, 1) in got
+    # no pair should exist purely via the hot shingle
+    assert all(p == (0, 1) for p in got)
