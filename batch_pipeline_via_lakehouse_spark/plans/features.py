@@ -181,42 +181,128 @@ def scd2_versions(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing (binary payloads through Arrow batches)
+# Multimodal columns: real BMP/WAV byte-level decode through Arrow batches.
+# The sandbox has no image/audio codec libraries, but BMP and WAV are
+# fixed-offset header formats decodable with pure byte math — so the payloads
+# are synthesized deterministically from doc_id (even -> 24bpp BMP, odd ->
+# PCM16 WAV), shipped through Spark as a binary column, and the decode stage
+# parses the actual little-endian header fields back out. The DuckDB oracle
+# recomputes the expected metadata from doc_id arithmetic, closing the
+# synthesize->bytes->parse round trip.
 
 
-@query("multimodal_stub")  # rows-only: decode is stubbed (no image libs in env)
-def multimodal_stub(spark, sf_dir) -> DataFrame:
-    """Multimodal column plumbing: payloads as opaque binary + typed metadata,
-    batch-processed with mapInPandas. The decode step is a STUB (deterministic
-    fake header parse — the container has no image/audio codecs); the Spark
-    plumbing (binary column, Arrow batching, schema, partitioning) is real."""
-    d = load(spark, sf_dir, "documents")
-    with_blob = d.select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-    )
+def _synth_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id -> deterministic BMP (even) / WAV (odd) payload bytes."""
+    import struct
 
-    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            blobs = b["payload"]
-            n = blobs.str.len()
-            # STUB: a real pipeline would decode image/audio here
-            # (PIL/torchaudio); we parse a deterministic fake header instead.
-            magic = blobs.str[:4].apply(lambda x: x.hex())
-            yield pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "magic": magic,
-                    "fake_width": (n % 640).astype("int64"),
-                    "fake_height": (n % 480).astype("int64"),
-                }
-            )
+    for b in batches:
+        payloads = []
+        for i in b["doc_id"].astype("int64"):
+            i = int(i)
+            if i % 2 == 0:  # 24bpp bottom-up BMP, rows padded to 4 bytes
+                w, h = 4 + i % 32, 4 + i % 24
+                row = ((3 * w + 3) // 4) * 4
+                img = row * h
+                hdr = struct.pack(
+                    "<2sIHHIIiiHHIIiiII",
+                    b"BM", 54 + img, 0, 0, 54,
+                    40, w, h, 1, 24, 0, img, 2835, 2835, 0, 0,
+                )
+                px = ((np.arange(img, dtype=np.int64) + i) % 256).astype(np.uint8)
+                payloads.append(hdr + px.tobytes())
+            else:  # canonical 44-byte RIFF/WAVE header + PCM16 samples
+                sr = 8000 + (i % 5) * 4000
+                ch = 1 + ((i // 2) % 2)
+                ns = 16 + i % 64
+                data = ns * ch * 2
+                hdr = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + data, b"WAVE", b"fmt ", 16, 1,
+                    ch, sr, sr * ch * 2, ch * 2, 16, b"data", data,
+                )
+                smp = ((np.arange(ns * ch, dtype=np.int64) * (i + 1)) % 65536 - 32768)
+                payloads.append(hdr + smp.astype("<i2").tobytes())
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    return with_blob.mapInPandas(
-        fake_decode,
-        schema="doc_id long, n_bytes long, magic string, fake_width long, fake_height long",
+
+def _le(blobs: pd.Series, idx, lo: int, hi: int, dtype: str) -> np.ndarray:
+    """Vectorized little-endian field extract: one frombuffer over the
+    concatenated fixed-offset slices of the selected rows."""
+    if len(idx) == 0:
+        return np.array([], dtype="int64")
+    raw = b"".join(bytes(blobs.iat[j][lo:hi]) for j in idx)
+    return np.frombuffer(raw, dtype=dtype).astype("int64")
+
+
+def _decode_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse real BMP/WAV header fields (magic, dimensions, sample rate,
+    channels, declared size) out of the binary column, batch-vectorized."""
+    for b in batches:
+        p = b["payload"]
+        n = len(p)
+        magic = p.str[:2]
+        bmp = np.where((magic == b"BM").to_numpy())[0]
+        wav = np.where((p.str[:4] == b"RIFF").to_numpy())[0]
+        n_bytes = p.str.len().astype("int64").to_numpy()
+
+        mime = np.full(n, "application/octet-stream", dtype=object)
+        mime[bmp], mime[wav] = "image/bmp", "audio/wav"
+        width = pd.array([None] * n, dtype="Int64")
+        height = pd.array([None] * n, dtype="Int64")
+        sample_rate = pd.array([None] * n, dtype="Int64")
+        channels = pd.array([None] * n, dtype="Int64")
+        declared = np.zeros(n, dtype="int64")
+
+        width[bmp] = _le(p, bmp, 18, 22, "<i4")   # BITMAPINFOHEADER biWidth
+        height[bmp] = _le(p, bmp, 22, 26, "<i4")  # biHeight
+        declared[bmp] = _le(p, bmp, 2, 6, "<u4")  # bfSize == file length
+        channels[wav] = _le(p, wav, 22, 24, "<u2")      # fmt nChannels
+        sample_rate[wav] = _le(p, wav, 24, 28, "<u4")   # fmt nSamplesPerSec
+        declared[wav] = _le(p, wav, 4, 8, "<u4") + 8    # RIFF size excludes 8
+
+        yield pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "mime": mime,
+                "width": width,
+                "height": height,
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "n_bytes": n_bytes,
+                "header_ok": declared == n_bytes,
+            }
+        )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 32 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 24 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 + ((doc_id // 2) % 2) AS BIGINT) END AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((3 * (4 + doc_id % 32) + 3) // 4) * 4 * (4 + doc_id % 24)
+                ELSE 44 + (16 + doc_id % 64) * (1 + ((doc_id // 2) % 2)) * 2
+           END AS BIGINT) AS n_bytes,
+           true AS header_ok
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir) -> DataFrame:
+    """Multimodal column pipeline: binary payload column + byte-exact header
+    decode via two mapInPandas stages (synthesize -> decode). The decode
+    parses the real BMP/WAV little-endian header fields — no codecs needed —
+    and cross-checks the declared file size against the payload length; the
+    oracle recomputes every field from doc_id arithmetic."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(_synth_payloads, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        _decode_payloads,
+        schema="doc_id long, mime string, width long, height long, "
+        "sample_rate long, channels long, n_bytes long, header_ok boolean",
     )
 
 
@@ -224,13 +310,34 @@ def multimodal_stub(spark, sf_dir) -> DataFrame:
 # Engine-native flagship: tokenize -> fragmented table -> compact+Z-order
 
 
-@query("maintenance_compact_zorder")  # engine-native: no SQL-expressible oracle
+@query(
+    "maintenance_compact_zorder",
+    oracle=r"""
+    WITH tok AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> ('0x' || substr(md5(w), 1, 7))::BIGINT % 50257) AS tokens,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             CAST(source AS VARCHAR) AS source
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           bit_xor(('0x' || substr(md5(doc_id || '|' || n_tok || '|'
+                    || array_to_string(tokens, ',')), 1, 15))::BIGINT) AS content_hash
+    FROM tok GROUP BY source
+    """,
+)
 def maintenance_compact_zorder(spark, sf_dir) -> DataFrame:
     """End-to-end maintenance flagship: tokenize `documents` into the token
     table shape, write it fragmented, run bin-packing compaction + Z-order
     clustering, and return the post-maintenance per-source rollup. The
-    invariant (content preserved exactly) is asserted by the engine test
-    suite; here the driver sees the operators run end-to-end."""
+    rollup's content_hash is an order-insensitive xor of a per-row md5 over
+    (doc_id, n_tok, tokens), so the DuckDB oracle — which tokenizes the raw
+    documents directly — verifies that maintenance preserved every token
+    array bit-for-bit. Snapshot-isolation and file-level invariants are
+    asserted by the engine test suite."""
     from ..datagen import TOKEN_SCHEMA
     from ..operators.clustering import cluster
     from ..operators.compaction import compact
@@ -258,6 +365,10 @@ def maintenance_compact_zorder(spark, sf_dir) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
-            F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok))").alias("content_hash"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws('|', doc_id,"
+                " cast(n_tok as string), array_join(cast(tokens as array<string>),"
+                " ','))), 1, 15), 16, 10) as bigint))"
+            ).alias("content_hash"),
         )
     )

@@ -308,24 +308,33 @@ def semi_join(spark, sf_dir) -> DataFrame:
 )
 def asof_join(spark, sf_dir) -> DataFrame:
     """As-of join (J4; the reference's hardest query,
-    `src/elt/gold/fact_share_issue.py:63-72`): non-equi join + row_number
-    rank-1 pick of the nearest order at-or-before each purchase event."""
+    `src/elt/gold/fact_share_issue.py:63-72`): non-equi join picks order
+    candidates at-or-before each purchase event, then a grouped max(struct)
+    keeps the nearest. The aggregate (not a row_number window) matters at
+    scale: partial aggregation collapses each event's candidates map-side
+    before the shuffle, where the window form would shuffle + sort every
+    candidate row."""
     e = load(spark, sf_dir, "events").filter("event_type = 'purchase'").alias("e")
     o = load(spark, sf_dir, "orders").alias("o")
     joined = e.join(
         o, (F.col("e.user_id") == F.col("o.o_custkey")) & (F.col("o.o_orderdate") <= F.col("e.ts")), "left"
     )
-    w = Window.partitionBy("e.event_id").orderBy(
-        F.col("o.o_orderdate").desc_nulls_last(), F.col("o.o_orderkey").desc_nulls_last()
-    )
+    # struct compares lexicographically -> (latest orderdate, largest key);
+    # a no-match event contributes one struct(null, null) row, so its fields
+    # surface as NULLs exactly like the LATERAL oracle's left join
+    best = F.max(
+        F.struct(F.col("o.o_orderdate").alias("d"), F.col("o.o_orderkey").alias("k"))
+    ).alias("m")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        joined.groupBy(
+            F.col("e.event_id").alias("event_id"), F.col("e.user_id").alias("user_id")
+        )
+        .agg(best)
         .select(
-            F.col("e.event_id").alias("event_id"),
-            F.col("e.user_id").alias("user_id"),
-            F.col("o.o_orderkey").alias("last_orderkey"),
-            _us(F.col("o.o_orderdate")).alias("last_orderdate"),
+            "event_id",
+            "user_id",
+            F.col("m.k").alias("last_orderkey"),
+            _us(F.col("m.d")).alias("last_orderdate"),
         )
     )
 

@@ -13,6 +13,7 @@ manifest -> parquet row-group -> page.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -84,16 +85,116 @@ def prune_files(files: list[DataFile], preds: list[Pred]) -> list[DataFile]:
     return [f for f in files if all(p.may_match(f) for p in preds)]
 
 
+# At 10^6+ data files the driver-side manifest fold becomes the planner
+# bottleneck, so planning itself goes distributed: manifests are plain
+# Parquet (one row per data file), Spark reads them, and each task applies
+# the SAME Pred.may_match stats logic over its manifest rows (Arrow-batched;
+# these are metadata rows — O(#files), never O(data rows)). The driver gets
+# back only the surviving paths / the per-task maxima. Below the threshold
+# the driver fold wins (no job-launch latency).
+DISTRIBUTED_PLAN_THRESHOLD = 200_000
+
+_MANIFEST_DDL = "path string, partition string, rows long, bytes long, stats string"
+
+
+def snapshot_file_count(table: Table, snapshot_id: int | None = None) -> int:
+    """Total data-file count from manifest Parquet footers — O(#manifests)
+    metadata reads, no manifest rows materialized."""
+    import pyarrow.parquet as pq
+
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is None:
+        return 0
+    return sum(
+        pq.read_metadata(os.path.join(table.metadata_dir, m)).num_rows
+        for m in table.snapshot(sid).manifests
+    )
+
+
+def manifest_df(spark: SparkSession, table: Table, snapshot_id: int | None = None) -> DataFrame:
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is None:
+        return spark.createDataFrame([], _MANIFEST_DDL)
+    paths = [os.path.join(table.metadata_dir, m) for m in table.snapshot(sid).manifests]
+    return spark.read.schema(_MANIFEST_DDL).parquet(*paths)
+
+
+def _manifest_row_datafile(path, partition, stats) -> DataFile:
+    return DataFile(
+        path=path,
+        partition=json.loads(partition) if partition else {},
+        rows=0,
+        bytes=0,
+        stats=json.loads(stats) if stats else {},
+    )
+
+
+def prune_paths_distributed(
+    spark: SparkSession,
+    table: Table,
+    preds: list[Pred],
+    snapshot_id: int | None = None,
+) -> list[str]:
+    """Spark-job manifest pruning: identical decisions to ``prune_files``
+    (same Pred.may_match per manifest row), evaluated executor-side."""
+    preds = list(preds)
+
+    def keep(batches):
+        for b in batches:
+            mask = [
+                all(p.may_match(_manifest_row_datafile(pa, pt, st)) for p in preds)
+                for pa, pt, st in zip(b["path"], b["partition"], b["stats"])
+            ]
+            yield b.loc[mask, ["path"]]
+
+    mdf = manifest_df(spark, table, snapshot_id)
+    return [r.path for r in mdf.mapInPandas(keep, "path string").collect()]
+
+
+def column_max_distributed(
+    spark: SparkSession, table: Table, col: str, snapshot_id: int | None = None
+):
+    """Spark-job cursor MAX: per-task maxima over manifest rows (JSON-encoded
+    so heterogeneous stat types survive Arrow), reduced driver-side with the
+    same Python ordering ``column_max`` uses."""
+
+    def part_max(batches):
+        best = None
+        for b in batches:
+            for st in b["stats"]:
+                v = (json.loads(st) if st else {}).get(col, {}).get("max")
+                if v is not None and (best is None or v > best):
+                    best = v
+        import pandas as pd
+
+        yield pd.DataFrame({"v": [] if best is None else [json.dumps(best, default=str)]})
+
+    mdf = manifest_df(spark, table, snapshot_id)
+    vals = [json.loads(r.v) for r in mdf.mapInPandas(part_max, "v string").collect()]
+    return max(vals) if vals else None
+
+
 def scan_with_pruning(
     spark: SparkSession,
     table: Table,
     preds: list[Pred],
     snapshot_id: int | None = None,
     columns: list[str] | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """Manifest-pruned read; residual predicate still applied for exactness."""
-    files = prune_files(table.live_files(snapshot_id), preds)
-    df = table.read_files(spark, files)
+    """Manifest-pruned read; residual predicate still applied for exactness.
+
+    ``distributed=None`` auto-selects: a Spark job plans the scan when the
+    snapshot has more than DISTRIBUTED_PLAN_THRESHOLD files, else the driver
+    fold does (both produce identical file sets — pytest-asserted)."""
+    if distributed is None:
+        distributed = snapshot_file_count(table, snapshot_id) > DISTRIBUTED_PLAN_THRESHOLD
+    if distributed:
+        paths = prune_paths_distributed(spark, table, preds, snapshot_id)
+        df = table.read_paths(spark, paths)
+    else:
+        files = prune_files(table.live_files(snapshot_id), preds)
+        df = table.read_files(spark, files)
     for p in preds:
         df = df.filter(p.to_column())
     return df.select(*columns) if columns else df

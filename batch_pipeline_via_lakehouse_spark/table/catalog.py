@@ -279,9 +279,12 @@ class Table:
 
     # ------------------------------------------------------------- read
     def read_files(self, spark: SparkSession, files: list[DataFile]) -> DataFrame:
-        if not files:
+        return self.read_paths(spark, [f.path for f in files])
+
+    def read_paths(self, spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+        if not rel_paths:
             return spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.root, f.path) for f in files]
+        paths = [os.path.join(self.root, p) for p in rel_paths]
         return spark.read.schema(self.schema).parquet(*paths)
 
     def scan(
