@@ -25,6 +25,7 @@ def run_maintenance_bench(
     target_bytes: int = 32 * 1024 * 1024,
     keep_dir: str | None = None,
     max_concurrency: int | None = None,
+    warmup: bool = True,
 ) -> dict:
     """Generate a fragmented token table, run compaction then Z-order
     clustering; return phase timings + throughput (sequences/s, tokens/s
@@ -38,6 +39,22 @@ def run_maintenance_bench(
         "SPARK_GRAFT_BENCH_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     root = keep_dir or tempfile.mkdtemp(prefix="bench-tok-", dir=base)
+
+    if warmup:
+        # untimed mini pass: spawns every Python worker, JIT-compiles the JVM
+        # hot paths, and grows worker allocator arenas to working-set size —
+        # one-time costs that otherwise land in (and distort) the first timed
+        # phase, disproportionately at high core counts
+        wdir = os.path.join(root, "warmup")
+        wt = Table.create(wdir, TOKEN_SCHEMA, partition_by=["source"])
+        wt.append_native(
+            token_table_df(spark, max(4000, n_rows // 20), seed=seed + 1),
+            num_files=max(8, fragment_files // 4),
+        )
+        compact(spark, wt, target_bytes=target_bytes)
+        cluster(spark, wt, mode="zorder", target_bytes=target_bytes)
+        shutil.rmtree(wdir, ignore_errors=True)
+
     table_dir = os.path.join(root, "tok")
     t = Table.create(table_dir, TOKEN_SCHEMA, partition_by=["source"])
 

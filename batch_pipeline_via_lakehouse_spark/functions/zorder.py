@@ -223,6 +223,70 @@ def zkey2_sql(numeric_col: str, h1: Column, lo: float, hi: float) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fully-native kernels (no JVM in the loop): used by the staged-exchange
+# clustering rewrite, where tasks read Parquet with pyarrow directly and the
+# string dims never pass through Spark expressions. FNV-1a is vectorized over
+# the Arrow string buffers: one NumPy pass per byte position (doc ids are
+# short), never per row.
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(col) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a pyarrow string/binary Array or
+    ChunkedArray; returns uint64 per row (nulls hash as empty)."""
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    if not chunks:
+        return np.empty(0, np.uint64)
+    outs = []
+    with np.errstate(over="ignore"):
+        for chunk in chunks:
+            arr = chunk.cast(pa.large_binary())
+            n = len(arr)
+            if n == 0:
+                outs.append(np.empty(0, np.uint64))
+                continue
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            h = np.full(n, _FNV_OFFSET, np.uint64)
+            lens = offs[1:] - offs[:-1]
+            starts = offs[:-1]
+            for i in range(int(lens.max()) if n else 0):
+                mask = lens > i
+                hm = h[mask]
+                hm = (hm ^ vals[starts[mask] + i]) * _FNV_PRIME
+                h[mask] = hm
+            outs.append(h)
+    return np.concatenate(outs) if len(outs) != 1 else outs[0]
+
+
+def native_cluster_key(
+    mode: str,
+    numeric: np.ndarray,
+    dim_hashes: list[np.ndarray],
+    lo: float,
+    hi: float,
+) -> np.ndarray:
+    """Clustering key from NumPy inputs (same curve kernels as the UDF path):
+    ``dim_hashes`` are uint64 hashes of the non-partition string dims."""
+    if mode == "zorder" and len(dim_hashes) == 2:
+        a = _to_bits(numeric, lo, hi, 21)
+        return morton3(a, dim_hashes[0] >> _U(43), dim_hashes[1] >> _U(43)).astype(np.int64)
+    if mode == "zorder":
+        a = _to_bits(numeric, lo, hi, 31)
+        return morton2(a, dim_hashes[0] >> _U(33)).astype(np.int64)
+    if mode == "hilbert":
+        a = _to_bits(numeric, lo, hi, 31)
+        return hilbert2(a, dim_hashes[0] >> _U(33), order=31).astype(np.int64)
+    raise ValueError(f"unknown clustering mode {mode!r}")
+
+
 def cluster_key_column(
     mode: str,
     numeric_col: str,

@@ -136,7 +136,11 @@ def compact(
     # is ONE job — a union of per-group coalesce(1) branches, so each task
     # rewrites exactly one group into exactly one output file (task index i
     # <-> group i, recovered from the part-NNNNN file name for lineage).
-    n_bundles = min(max(1, max_concurrency // 4), max(1, len(todo) // 2)) or 1
+    # Split into multiple bundles (finer resume + commit granularity) only
+    # when each still holds >= 8 task waves; below that the extra commits +
+    # collects cost more than the granularity is worth.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_bundles = max(1, min(max(1, max_concurrency // 4), len(todo) // (8 * par)))
     bundles: list[list[tuple[str, list[DataFile]]]] = [[] for _ in range(n_bundles)]
     bundle_bytes = [0] * n_bundles
     for gk, files in todo:
@@ -187,10 +191,14 @@ def compact(
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            # one OS thread per task: pyarrow's default pool is sized by
+            # hardware_concurrency PER WORKER, so 32 workers x 32 threads
+            # oversubscribes the host 32x and stops scaling
+            pa.set_cpu_count(1)
             for batch in batches:
                 for v in batch.column(0).to_pylist():
                     d = bin_descs[v]
-                    tbl = pq.read_table(d["paths"])
+                    tbl = pq.read_table(d["paths"], use_threads=False)
                     os.makedirs(os.path.join(table_root, d["rel_dir"]), exist_ok=True)
                     rel = os.path.join(d["rel_dir"], f"part-{v:05d}.zstd.parquet")
                     abs_p = os.path.join(table_root, rel)

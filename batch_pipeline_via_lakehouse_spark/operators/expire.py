@@ -117,5 +117,14 @@ def gc_orphans(table: Table, grace_ms: int = 24 * 3600 * 1000) -> dict:
         if os.path.isdir(d) and not os.listdir(d):
             os.rmdir(d)
 
+    # stale clustering staging runs (crashed jobs clean up on resume/success;
+    # this catches jobs that never came back) — same grace window
+    import shutil
+
+    for d in glob.glob(os.path.join(table.root, "_staging", "*")):
+        if os.path.isdir(d) and os.path.getmtime(d) * 1000 <= cutoff:
+            shutil.rmtree(d, ignore_errors=True)
+            deleted_files += 1
+
     table._manifest_cache.clear()
     return {"deleted_files": deleted_files, "deleted_manifests": deleted_manifests}

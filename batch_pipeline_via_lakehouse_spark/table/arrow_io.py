@@ -58,7 +58,7 @@ def arrow_rewrite_job(
     partition_cols: list[str],
     tracked: list[str],
     sum_cols: list[str],
-    zstd_level: int = 3,
+    zstd_level: int = 1,  # parquet-cpp's zstd default; rewrites are steady-state CPU
     sort_by: list[str] | None = None,
     drop_cols: list[str] | None = None,
     split_extra_cols: list[str] | None = None,
@@ -84,6 +84,9 @@ def arrow_rewrite_job(
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
+        # one OS thread per task (pyarrow pools default to hardware
+        # concurrency per worker -> 32x oversubscription at local[32])
+        pa.set_cpu_count(1)
         tid = TaskContext.get().partitionId()
         batch_list = list(batches)
         if not batch_list:

@@ -65,7 +65,9 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     maint_rows = MAINT_ROWS.get(sf, max(2000, int(float(sf) * 1_200_000)))
-    maint = run_maintenance_bench(spark, n_rows=maint_rows)
+    # 8MB target: compaction bins and cluster cells both get >= 2 task waves
+    # at local[32], so the maintenance phases can actually use the cores
+    maint = run_maintenance_bench(spark, n_rows=maint_rows, target_bytes=8 * 1024 * 1024)
     timings["maintenance_compact_zorder"] = maint["maintenance_s"]
     print(f"# maintenance: {maint}", file=sys.stderr)
 

@@ -25,14 +25,14 @@ from batch_pipeline_via_lakehouse_spark.bench_core import run_maintenance_bench
 spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={cpus},
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 spark.sparkContext.setLogLevel("ERROR")
-out = run_maintenance_bench(spark, n_rows={rows}, fragment_files={frag})
+out = run_maintenance_bench(spark, n_rows={rows}, fragment_files={frag}, target_bytes={target})
 print("RESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def run_at(cpus: int, rows: int, frag: int) -> dict:
-    code = _RUNNER.format(repo=REPO, cpus=cpus, rows=rows, frag=frag)
+def run_at(cpus: int, rows: int, frag: int, target: int) -> dict:
+    code = _RUNNER.format(repo=REPO, cpus=cpus, rows=rows, frag=frag, target=target)
     # pin the whole process tree (JVM + python workers) to `cpus` physical
     # cores: local[N] alone only caps Spark task slots — GC/IO/Python threads
     # would still spill onto all cores and flatter the small configuration
@@ -46,9 +46,12 @@ def run_at(cpus: int, rows: int, frag: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=120_000)
+    ap.add_argument("--rows", type=int, default=240_000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism level N (big is 4N)")
-    ap.add_argument("--frag", type=int, default=64)
+    ap.add_argument("--frag", type=int, default=128)
+    ap.add_argument("--target-mb", type=int, default=8,
+                    help="compaction/cluster target file size (MB); sized so both\n"
+                         "stages have >= 2 task waves at the 4N level")
     ap.add_argument("--repeat", type=int, default=3,
                     help="runs per level; best taken (the sandbox host has "
                          "multi-tenant IO/CPU noise worth ±3x)")
@@ -59,7 +62,7 @@ def main() -> None:
     def best_of(cpus: int) -> dict:
         runs = []
         for i in range(args.repeat):
-            r = run_at(cpus, args.rows, args.frag)
+            r = run_at(cpus, args.rows, args.frag, args.target_mb * 1024 * 1024)
             print(f"# local[{cpus}] run {i}: maintenance={r['maintenance_s']}s "
                   f"({r['tokens_per_s']:.0f} tok/s)", file=sys.stderr)
             runs.append(r)

@@ -70,6 +70,9 @@ def test_rewrite_manifests_metadata_only(spark, tmp_path):
     for k in range(3):
         t.append(token_table_df(spark, 300, seed=30 + k), num_files=2)
     compact(spark, t, target_bytes=8 * 1024 * 1024)
+    # two more appends -> snapshot references several small manifests again
+    for k in range(2):
+        t.append(token_table_df(spark, 200, seed=40 + k), num_files=2)
     content = content_checksum(t.scan(spark))
     files_before = {f.path for f in t.live_files()}
     n_manifests = len(t.snapshot(t.current_snapshot_id()).manifests)

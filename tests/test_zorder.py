@@ -87,3 +87,34 @@ def test_cluster_resume(spark, tmp_path):
     assert r2["executed"] == []
     assert r2["partitions"] == n1  # log remembers all completed partitions
     assert content_checksum(t.scan(spark)) == before
+
+
+def test_native_and_spark_cluster_impls_agree(spark, tmp_path):
+    """The staged-exchange (native) and DataFrame-shuffle (spark) rewrites
+    must preserve identical content; both must leave sorted-tight files."""
+    results = {}
+    for impl in ("native", "spark"):
+        t = Table.create(str(tmp_path / f"t-{impl}"), TOKEN_SCHEMA, partition_by=["source"])
+        t.append(token_table_df(spark, 1200, seed=77), num_files=4)
+        before = content_checksum(t.scan(spark))
+        cluster(spark, t, mode="zorder", target_bytes=2 * 1024 * 1024, impl=impl)
+        assert content_checksum(t.scan(spark)) == before
+        results[impl] = before
+    assert results["native"] == results["spark"]  # same input data both runs
+
+
+def test_fnv1a64_deterministic_and_spread():
+    import pyarrow as pa
+
+    from batch_pipeline_via_lakehouse_spark.functions.zorder import fnv1a64
+
+    arr = pa.chunked_array([pa.array(["a", "bb", "", "doc-00042"]), pa.array(["a"])])
+    h = fnv1a64(arr)
+    # reference FNV-1a 64 computed per spec
+    def ref(s: bytes) -> int:
+        x = 0xCBF29CE484222325
+        for b in s:
+            x = ((x ^ b) * 0x100000001B3) % (1 << 64)
+        return x
+
+    assert list(h) == [ref(b"a"), ref(b"bb"), ref(b""), ref(b"doc-00042"), ref(b"a")]
