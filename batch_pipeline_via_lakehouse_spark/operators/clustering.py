@@ -408,9 +408,11 @@ def _cluster_native(
     # tasks each.
     n_files_todo = sum(len(fl) for _, fl in todo)
     par = spark.sparkContext.defaultParallelism
-    # >= 8 task waves per bundle: fewer and the last partial wave's idle
-    # slots dominate (at 2.5 waves the quantization alone costs ~20%)
-    n_bundles = max(1, min(4, len(todo), n_files_todo // (8 * par)))
+    # >= 4 task waves per bundle (fewer and the last partial wave's idle
+    # slots dominate); bundles then run through a depth-2 pipeline below, so
+    # one bundle's driver-side gaps (bounds merge, commit, log) and reduce
+    # tail overlap the next bundle's sample/map instead of serializing
+    n_bundles = max(1, min(4, len(todo), n_files_todo // (4 * par)))
     bundles: list[list[tuple[str, list[DataFile]]]] = [[] for _ in range(n_bundles)]
     bundle_bytes = [0] * n_bundles
     for pk, fl in sorted(todo, key=lambda kv: sum(f.bytes for f in kv[1]), reverse=True):
@@ -419,7 +421,10 @@ def _cluster_native(
         bundle_bytes[i] += sum(f.bytes for f in fl)
     bundles = [b for b in bundles if b]
 
-    for bi, bundle in enumerate(bundles):
+    commit_mutex = threading.Lock()
+
+    def run_native_bundle(args) -> None:
+        bi, bundle = args
         t0 = time.monotonic()
         pk_index = {pk: i for i, (pk, _) in enumerate(bundle)}
         partitions = [dict(by_part[pk][0].partition) for pk, _ in bundle]
@@ -580,26 +585,34 @@ def _cluster_native(
             )
         out_files = [f for fl in out_by_pk.values() for f in fl]
         seconds = time.monotonic() - t0
-        sid = table.commit(
-            out_files,
-            {f.path for _, fl in bundle for f in fl},
-            "cluster",
-            {"partitions": [pk for pk, _ in bundle], "mode": mode, "impl": "native"},
-        )
-        for i, (pk, in_f) in enumerate(bundle):
-            out_f = out_by_pk.get(i, [])
-            log.record(
-                partition=pk,
-                input_files=[f.path for f in in_f],
-                output_files=[f.path for f in out_f],
-                snapshot_id=sid,
-                rows=sum(f.rows for f in out_f),
-                bytes_=sum(f.bytes for f in out_f),
-                tokens=sum(int(f.stat("n_tok", "sum") or 0) for f in out_f) if has_tokens else 0,
-                seconds=round(seconds / len(bundle), 3),
+        with commit_mutex:  # snapshot chain is single-writer
+            sid = table.commit(
+                out_files,
+                {f.path for _, fl in bundle for f in fl},
+                "cluster",
+                {"partitions": [pk for pk, _ in bundle], "mode": mode, "impl": "native"},
             )
-            reports.append({"partition": pk, "out_files": len(out_f), "snapshot": sid})
+            for i, (pk, in_f) in enumerate(bundle):
+                out_f = out_by_pk.get(i, [])
+                log.record(
+                    partition=pk,
+                    input_files=[f.path for f in in_f],
+                    output_files=[f.path for f in out_f],
+                    snapshot_id=sid,
+                    rows=sum(f.rows for f in out_f),
+                    bytes_=sum(f.bytes for f in out_f),
+                    tokens=sum(int(f.stat("n_tok", "sum") or 0) for f in out_f) if has_tokens else 0,
+                    seconds=round(seconds / len(bundle), 3),
+                )
+                reports.append({"partition": pk, "out_files": len(out_f), "snapshot": sid})
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # depth-2 pipeline: bundle i+1's sample/map runs while bundle i is in its
+    # reduce/commit tail — Spark's scheduler interleaves the two jobs' tasks,
+    # hiding per-bundle serial gaps without oversubscribing the executors
+    if bundles:
+        with ThreadPoolExecutor(max_workers=min(2, len(bundles))) as pool:
+            list(pool.map(run_native_bundle, enumerate(bundles)))
 
     shutil.rmtree(os.path.join(table_root, "_staging", job_id), ignore_errors=True)
     entries = log.entries()

@@ -59,29 +59,45 @@ def main() -> None:
 
     import time as _t
 
-    def best_of(cpus: int) -> dict:
-        runs = []
-        for i in range(args.repeat):
-            r = run_at(cpus, args.rows, args.frag, args.target_mb * 1024 * 1024)
-            print(f"# local[{cpus}] run {i}: maintenance={r['maintenance_s']}s "
-                  f"({r['tokens_per_s']:.0f} tok/s)", file=sys.stderr)
-            runs.append(r)
-            subprocess.run(["sync"])
-            _t.sleep(5)
-        return max(runs, key=lambda r: r["tokens_per_s"])
+    # The host's background noise is episodic (fault-storm windows slow
+    # everything 2-4x for minutes at a time), so the two levels are measured
+    # as BACK-TO-BACK PAIRS — each pair samples one noise window for both —
+    # and the best pair is reported. Measuring each level in its own block
+    # (the naive layout) lets a noise episode hit one level only, which
+    # corrupts the ratio in either direction.
+    pairs = []
+    for i in range(args.repeat):
+        small = run_at(args.n, args.rows, args.frag, args.target_mb * 1024 * 1024)
+        print(f"# pair {i} local[{args.n}]: maintenance={small['maintenance_s']}s "
+              f"({small['tokens_per_s']:.0f} tok/s)", file=sys.stderr)
+        big = run_at(4 * args.n, args.rows, args.frag, args.target_mb * 1024 * 1024)
+        print(f"# pair {i} local[{4 * args.n}]: maintenance={big['maintenance_s']}s "
+              f"({big['tokens_per_s']:.0f} tok/s)", file=sys.stderr)
+        eff = big["tokens_per_s"] / (4 * small["tokens_per_s"])
+        print(f"# pair {i} efficiency: {eff:.3f}", file=sys.stderr)
+        pairs.append((small, big, eff))
+        subprocess.run(["sync"])
+        _t.sleep(5)
 
-    small = best_of(args.n)
-    big = best_of(4 * args.n)
-    eff_tok = big["tokens_per_s"] / (4 * small["tokens_per_s"])
-    eff_seq = big["sequences_per_s"] / (4 * small["sequences_per_s"])
+    # best pair by combined throughput (cleanest noise window), not by
+    # efficiency — picking max-efficiency would bias toward pairs where the
+    # small level got unlucky
+    small, big, eff = max(pairs, key=lambda p: p[0]["tokens_per_s"] + p[1]["tokens_per_s"])
     result = {
         "rows": args.rows,
         "n_cores": args.n,
         "4n_cores": 4 * args.n,
         f"local[{args.n}]": small,
         f"local[{4 * args.n}]": big,
-        "scaling_efficiency_tokens": round(eff_tok, 3),
-        "scaling_efficiency_sequences": round(eff_seq, 3),
+        "scaling_efficiency_tokens": round(eff, 3),
+        "scaling_efficiency_sequences": round(
+            big["sequences_per_s"] / (4 * small["sequences_per_s"]), 3
+        ),
+        "all_pairs": [
+            {"small_tok_s": p[0]["tokens_per_s"], "big_tok_s": p[1]["tokens_per_s"],
+             "efficiency": round(p[2], 3)}
+            for p in pairs
+        ],
     }
     print(json.dumps(result, indent=2))
 
