@@ -57,8 +57,22 @@ def cluster(
     read data files with pyarrow, key rows vectorized, and stage one sorted
     run per range cell; reduce tasks merge each cell's runs into its final
     file. No table row ever crosses the JVM row format — see
-    ``_cluster_native``. ``impl='spark'`` keeps the DataFrame shuffle path."""
+    ``_cluster_native``. ``impl='spark'`` keeps the DataFrame shuffle path.
+
+    ``max_concurrency`` and ``key_impl`` only shape the DataFrame path; the
+    native exchange derives its own parallelism (#files / #cells) and always
+    keys in NumPy, so passing either with ``impl='native'`` warns instead of
+    being silently ignored."""
     if impl == "native":
+        if max_concurrency is not None or key_impl != "jvm":
+            import warnings
+
+            warnings.warn(
+                "cluster(impl='native') ignores max_concurrency/key_impl: the "
+                "staged exchange parallelizes by #files/#cells and keys in "
+                "NumPy; use impl='spark' to control those knobs",
+                stacklevel=2,
+            )
         return _cluster_native(
             spark, table, mode, numeric_col, hash_cols, target_bytes, job_id, snapshot_id
         )
@@ -504,13 +518,17 @@ def _cluster_native(
                             compression="lz4",
                         )
                     yield pa.RecordBatch.from_pydict(
-                        {"n": pa.array([tbl.num_rows], pa.int64())}
+                        {"pki": pa.array([pki], pa.int32()),
+                         "n": pa.array([tbl.num_rows], pa.int64())}
                     )
 
         _t = time.monotonic()
-        spark.range(0, len(abs_paths), numPartitions=len(abs_paths)).mapInArrow(
-            stage_task, "n long"
+        map_counts = spark.range(0, len(abs_paths), numPartitions=len(abs_paths)).mapInArrow(
+            stage_task, "pki int, n long"
         ).collect()
+        map_rows_by_pk: dict[int, int] = {}
+        for r in map_counts:
+            map_rows_by_pk[r["pki"]] = map_rows_by_pk.get(r["pki"], 0) + r["n"]
         if _dbg:
             print(f"# cluster[b{bi}] map: {time.monotonic()-_t:.2f}s")
 
@@ -584,6 +602,23 @@ def _cluster_native(
                 )
             )
         out_files = [f for fl in out_by_pk.values() for f in fl]
+
+        # completeness gate BEFORE commit: the reduce stage silently skips a
+        # cell whose staged runs are missing (e.g. staging swept externally
+        # mid-run), which would otherwise commit a snapshot that drops rows.
+        # Per partition: manifest input rows == map-stage read rows == reduce
+        # output rows, or the bundle aborts and its input files stay live.
+        for i, (pk, in_f) in enumerate(bundle):
+            in_rows = sum(f.rows for f in in_f)
+            mapped = map_rows_by_pk.get(i, 0)
+            reduced = sum(f.rows for f in out_by_pk.get(i, []))
+            if in_rows != mapped or in_rows != reduced:
+                raise RuntimeError(
+                    f"cluster[{job_id}] aborting commit for partition {pk}: "
+                    f"input rows {in_rows} != map-read {mapped} or "
+                    f"reduce-output {reduced} (staging lost under {stage_dir}?)"
+                )
+
         seconds = time.monotonic() - t0
         with commit_mutex:  # snapshot chain is single-writer
             sid = table.commit(

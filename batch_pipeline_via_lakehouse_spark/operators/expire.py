@@ -42,7 +42,7 @@ def expire_snapshots(
     snaps = table.snapshots()
     current = table.current_snapshot_id()
     if not snaps:
-        return {"expired": [], "deleted_files": 0, "deleted_manifests": 0}
+        return {"expired": [], "deleted_files": 0, "deleted_manifests": 0, "swept_staging": 0}
 
     by_recency = sorted(snaps, key=lambda s: s.snapshot_id, reverse=True)
     keep = {s.snapshot_id for s in by_recency[: max(1, retain_last)]}
@@ -71,10 +71,19 @@ def expire_snapshots(
     for s in expired:
         os.remove(os.path.join(table.metadata_dir, f"snap-{s.snapshot_id}.json"))
 
-    report = {"expired": [s.snapshot_id for s in expired], "deleted_files": 0, "deleted_manifests": 0}
+    report = {
+        "expired": [s.snapshot_id for s in expired],
+        "deleted_files": 0,
+        "deleted_manifests": 0,
+        "swept_staging": 0,
+    }
     if gc:
         g = gc_orphans(table, grace_ms=gc_grace_ms)
-        report.update(deleted_files=g["deleted_files"], deleted_manifests=g["deleted_manifests"])
+        report.update(
+            deleted_files=g["deleted_files"],
+            deleted_manifests=g["deleted_manifests"],
+            swept_staging=g["swept_staging"],
+        )
     return report
 
 
@@ -118,13 +127,31 @@ def gc_orphans(table: Table, grace_ms: int = 24 * 3600 * 1000) -> dict:
             os.rmdir(d)
 
     # stale clustering staging runs (crashed jobs clean up on resume/success;
-    # this catches jobs that never came back) — same grace window
+    # this catches jobs that never came back) — same grace window. Staleness
+    # is judged by the NEWEST mtime anywhere under the job dir: the top-level
+    # dir's mtime is set at job start and never refreshed by nested run
+    # writes, so using it alone would sweep a long-running job's live staging
+    # mid-run (feeding a silent-data-loss path in the native cluster commit).
     import shutil
 
+    swept_staging = 0
     for d in glob.glob(os.path.join(table.root, "_staging", "*")):
-        if os.path.isdir(d) and os.path.getmtime(d) * 1000 <= cutoff:
+        if not os.path.isdir(d):
+            continue
+        newest = os.path.getmtime(d)
+        for sub, dirs, names in os.walk(d):
+            for n in [*dirs, *names]:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(sub, n)))
+                except OSError:
+                    continue  # a racing writer moved it; treat as active
+        if newest * 1000 <= cutoff:
             shutil.rmtree(d, ignore_errors=True)
-            deleted_files += 1
+            swept_staging += 1
 
     table._manifest_cache.clear()
-    return {"deleted_files": deleted_files, "deleted_manifests": deleted_manifests}
+    return {
+        "deleted_files": deleted_files,
+        "deleted_manifests": deleted_manifests,
+        "swept_staging": swept_staging,
+    }

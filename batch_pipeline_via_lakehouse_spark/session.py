@@ -26,9 +26,17 @@ def _tune_allocators() -> None:
     task allocates fresh Arrow/NumPy/JVM-native buffers constantly, so
     without this the whole data path stops scaling past ~8 cores. The env
     must be set before the JVM (and its Python workers) are spawned; workers
-    inherit it. ARROW_DEFAULT_MEMORY_POOL=system routes pyarrow through the
-    tuned glibc allocator (its bundled jemalloc/mimalloc purge pages back to
-    the OS, re-faulting on every batch)."""
+    inherit it. ARROW_DEFAULT_MEMORY_POOL=jemalloc (with both decay clocks
+    disabled via MALLOC_CONF) keeps pyarrow's freed pages cached in-process;
+    the glibc tunables do the same for NumPy/CPython heap allocations.
+
+    Tradeoff: every worker retains its peak RSS indefinitely (no pages are
+    returned to the OS between batches). That is the right call on hosts
+    whose fault path serializes under concurrency, and the wrong one on
+    memory-constrained hosts — set SPARK_GRAFT_NO_ALLOC_TUNING=1 to opt out
+    (the engine then runs on the platform allocator defaults)."""
+    if os.environ.get("SPARK_GRAFT_NO_ALLOC_TUNING") == "1":
+        return
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_TOP_PAD_", str(256 << 20))

@@ -106,3 +106,43 @@ def test_expiry_preserves_stream_dedup_watermark(spark, tmp_path):
     for bid in range(3):
         assert is_batch_committed(t, "q1", bid)
     assert not is_batch_committed(t, "q1", 3)
+
+
+def test_staging_sweep_uses_newest_nested_mtime(spark, tmp_path):
+    """A staging dir whose top-level mtime is stale but whose nested run
+    files are fresh belongs to a live job — it must survive the sweep; a
+    fully-stale dir is swept and reported under swept_staging (not as a
+    deleted data file)."""
+    import os
+    import time
+
+    from batch_pipeline_via_lakehouse_spark.operators.expire import gc_orphans
+
+    t = Table.create(str(tmp_path / "t"), TOKEN_SCHEMA)
+    t.append(token_table_df(spark, 10, seed=1))
+
+    old = time.time() - 7 * 24 * 3600
+    live = os.path.join(t.root, "_staging", "job-live", "r1", "p0000-c00000")
+    os.makedirs(live)
+    with open(os.path.join(live, "run-00001.parquet"), "w") as f:
+        f.write("x")  # fresh nested write from a long-running job
+    for d in (
+        os.path.join(t.root, "_staging", "job-live"),
+        os.path.join(t.root, "_staging", "job-live", "r1"),
+    ):
+        os.utime(d, (old, old))  # top-level dirs look stale
+
+    dead = os.path.join(t.root, "_staging", "job-dead", "r1")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "run-00001.parquet"), "w") as f:
+        f.write("x")
+    for root, dirs, names in os.walk(os.path.join(t.root, "_staging", "job-dead"), topdown=False):
+        for n in [*names, *dirs]:
+            os.utime(os.path.join(root, n), (old, old))
+    os.utime(os.path.join(t.root, "_staging", "job-dead"), (old, old))
+
+    report = gc_orphans(t, grace_ms=24 * 3600 * 1000)
+    assert os.path.isdir(os.path.join(t.root, "_staging", "job-live"))
+    assert not os.path.isdir(os.path.join(t.root, "_staging", "job-dead"))
+    assert report["swept_staging"] == 1
+    assert report["deleted_files"] == 0  # staging dirs are not data files
