@@ -26,6 +26,7 @@ def run_maintenance_bench(
     keep_dir: str | None = None,
     max_concurrency: int | None = None,
     warmup: bool = True,
+    hilbert: bool = False,
 ) -> dict:
     """Generate a fragmented token table, run compaction then Z-order
     clustering; return phase timings + throughput (sequences/s, tokens/s
@@ -76,6 +77,16 @@ def run_maintenance_bench(
     t_cluster = time.monotonic() - t0
 
     files_after = len(t.live_files())
+
+    # Hilbert parity run (same data volume, re-clustered from the zorder
+    # layout): timed separately so the headline maintenance_s metric stays
+    # comparable across rounds while both curve modes carry a number.
+    t_hilbert = None
+    if hilbert:
+        t0 = time.monotonic()
+        cluster(spark, t, mode="hilbert", target_bytes=target_bytes)
+        t_hilbert = time.monotonic() - t0
+
     maint = t_compact + t_cluster
     out = {
         "rows": n_rows,
@@ -89,6 +100,9 @@ def run_maintenance_bench(
         "sequences_per_s": round(2 * n_rows / maint, 1),  # each row passes compact+cluster
         "tokens_per_s": round(2 * total_tokens / maint, 1),
     }
+    if t_hilbert is not None:
+        out["hilbert_s"] = round(t_hilbert, 2)
+        out["hilbert_tokens_per_s"] = round(total_tokens / t_hilbert, 1)
     if keep_dir is None:
         shutil.rmtree(root, ignore_errors=True)
     return out

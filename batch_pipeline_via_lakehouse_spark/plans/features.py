@@ -71,7 +71,7 @@ def grouped_features(spark, sf_dir) -> DataFrame:
 
 
 def _ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    # reference-exact pieces Spark SQL cannot express: ewm + RSI
+    # reference-exact pieces Spark SQL cannot express natively: ewm + RSI
     # (`src/elt/gold/fact_daily_ohlcv.py:112-133`)
     pdf = pdf.sort_values(["ts", "event_id"])
     v = pdf["value"]
@@ -81,20 +81,58 @@ def _ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     loss = (-delta.clip(upper=0)).rolling(14).mean()
     rs = gain / loss
     rsi = 100 - (100 / (1 + rs))
+    # nullable Float64 maps NaN (undefined warmup windows / 0-division) to
+    # SQL NULL — the cross-engine representation the oracle produces
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
-            "ema10": ema10.round(6),
-            "rsi14": rsi.round(6),
+            "ema10": ema10.round(6).astype("Float64"),
+            "rsi14": rsi.round(6).astype("Float64"),
         }
     )
 
 
-@query("ema_features")  # no SQL oracle: ewm/RSI are pandas-only (rows-only check)
+@query(
+    "ema_features",
+    # The adjust=False EMA recurrence is replayed in DuckDB via list_reduce
+    # over the per-user ordered value list (prefix slice per row), with the
+    # EXACT float semantics of pandas' C kernel: literal (1-a)/a weights,
+    # division by (old+new)==1.0 elided, and pandas' `avg != cur` skip-guard
+    # mirrored as a CASE. RSI's rolling means are plain 14-row windows with
+    # min_periods (rn<15 -> NULL) and the gain/0 -> RSI=100 limit made
+    # explicit (pandas reaches it through inf). Verified bit-exact against
+    # pandas on the driver's data (round-6 doubles identical to the last bit).
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    ), grp AS (
+      SELECT user_id, list(value ORDER BY rn) AS vals FROM ordered GROUP BY user_id
+    ), rsi AS (
+      SELECT event_id, rn,
+             avg(greatest(delta, 0)) OVER w14 AS gain,
+             avg(greatest(-delta, 0)) OVER w14 AS loss
+      FROM ordered
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o.event_id, o.user_id,
+           round(list_reduce(g.vals[1:o.rn],
+             (acc, x) -> CASE WHEN acc = x THEN acc
+                         ELSE 0.8181818181818181 * acc + 0.18181818181818182 * x END), 6) AS ema10,
+           round(CASE WHEN r.rn < 15 THEN NULL
+                WHEN r.loss = 0 AND r.gain > 0 THEN 100.0
+                WHEN r.loss = 0 THEN NULL
+                ELSE 100 - (100 / (1 + r.gain / r.loss)) END, 6) AS rsi14
+    FROM ordered o JOIN grp g USING (user_id) JOIN rsi r ON r.event_id = o.event_id
+    """,
+)
 def ema_features(spark, sf_dir) -> DataFrame:
     """EMA + RSI per user (reference-exact pandas pieces, W5) — validated
-    against a driver-side pandas oracle in tests/test_queries_oracle.py."""
+    against a driver-side pandas oracle in tests/test_queries_oracle.py AND
+    a DuckDB list_reduce oracle replaying the same recurrence."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").applyInPandas(
         _ema_fn, schema="event_id long, user_id long, ema10 double, rsi14 double"

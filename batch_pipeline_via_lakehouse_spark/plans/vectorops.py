@@ -16,7 +16,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -39,6 +39,26 @@ _COS_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _hyperplanes(n_planes: int = _PLANES) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 parities — reproducible in SQL.
+    Plane j is the same for every ``n_planes``, so wider signatures extend
+    (never reshuffle) narrower ones."""
+    w = np.empty((n_planes, _DIM), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(_DIM):
+            h = hashlib.md5(f"{j}-{d}".encode()).hexdigest()
+            w[j, d] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    return w
+
+
+def _lsh_weights_sql(n_planes: int = _PLANES) -> str:
+    w = _hyperplanes(n_planes)
+    rows = ", ".join(
+        f"({j}, {d}, {int(w[j, d])})" for j in range(n_planes) for d in range(_DIM)
+    )
+    return f"(VALUES {rows}) AS w(plane, dim, wt)"
 
 
 @query(
@@ -92,31 +112,112 @@ def ann_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+# near-dup LSH parameters: 16 hyperplanes in 4 bands of 4 — candidates must
+# share (label, band, band-signature), never the raw label alone. _ND_CAP is
+# the hard quadratic bound: a (label, band, sig) bucket larger than the cap
+# is non-discriminative boilerplate (the analogue of textops' _DF_CAP hot-
+# shingle cap) and is dropped whole. At corpus scale the plane count per
+# band grows with data volume (sig space 2^r); the cap holds regardless.
+_ND_PLANES = 16
+_ND_BAND = 4  # planes per band
+_ND_CAP = 128
+
+
+def neardup_pairs(e: DataFrame, threshold: float = 0.35, cap: int = _ND_CAP) -> DataFrame:
+    """Banded-LSH embedding near-dup over any (vec_id, label, embedding)
+    DataFrame: signature once per vector (one NumPy matmul per Arrow batch),
+    band-explode, capped in-bucket candidate join, then exact cosine on the
+    deduped candidates only. One hot label or bucket can no longer go
+    quadratic: bucket size is capped, so candidates <= #buckets * cap^2."""
+    w = _hyperplanes(_ND_PLANES)
+
+    @pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ w.T >= 0).astype(np.int64)
+        return pd.Series((bits << np.arange(_ND_PLANES, dtype=np.int64)).sum(axis=1))
+
+    n_bands = _ND_PLANES // _ND_BAND
+    mask = (1 << _ND_BAND) - 1
+    sigs = e.select("vec_id", "label", sig_udf(F.col("embedding")).alias("s"))
+    banded = sigs.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("s"), b * _ND_BAND)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", "label", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bucket = Window.partitionBy("label", "band", "sig")
+    ok = (
+        banded.withColumn("_cnt", F.count(F.lit(1)).over(bucket))
+        .filter(F.col("_cnt") <= cap)
+        .drop("_cnt")
+    )
+    cand = (
+        ok.alias("a")
+        .join(ok.alias("b"), on=["label", "band", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb_b"))
+    cos = _cosine_expr("emb_a", "emb_b")
+    return (
+        cand.join(ea, "v1")
+        .join(eb, "v2")
+        .filter(cos >= threshold)
+        .select("v1", "v2", F.floor(1000 * cos).cast("long").alias("cos_m"))
+    )
+
+
 @query(
     "embedding_neardup",
     oracle=f"""
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
+    WITH comps AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), proj AS (
+      SELECT c.vec_id, c.label, w.plane, sum(c.x * w.wt) AS p
+      FROM comps c JOIN {_lsh_weights_sql(_ND_PLANES)} ON c.dim = w.dim
+      GROUP BY c.vec_id, c.label, w.plane
+    ), sig AS (
+      SELECT vec_id, label, plane // {_ND_BAND} AS band,
+             sum(CASE WHEN p >= 0 THEN 1 ELSE 0 END * (1 << (plane % {_ND_BAND}))) AS s
+      FROM proj GROUP BY vec_id, label, plane // {_ND_BAND}
+    ), ok AS (
+      SELECT * FROM sig QUALIFY count(*) OVER (PARTITION BY label, band, s) <= {_ND_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM ok a JOIN ok b
+        ON a.label = b.label AND a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id
+    )
+    SELECT c.v1, c.v2,
            CAST(floor(1000 * ({_COS_SQL.format(a="a.embedding", b="b.embedding")})) AS BIGINT) AS cos_m
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.v1
+    JOIN embeddings b ON b.vec_id = c.v2
     WHERE ({_COS_SQL.format(a="a.embedding", b="b.embedding")}) >= 0.35
     """,
 )
 def embedding_neardup(spark, sf_dir) -> DataFrame:
-    """Embedding near-dup pairs, blocked by label (the blocking key stands in
-    for an LSH bucket: candidates share a block, never a full cross join)."""
-    e = load(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    cos = _cosine_expr("a.embedding", "b.embedding")
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.floor(1000 * cos).cast("long").alias("cos_m"),
-        )
-    )
+    """Embedding near-dup pairs via banded hyperplane LSH within the label
+    block: candidates must share a (label, band, signature) bucket, buckets
+    above _ND_CAP members are dropped as non-discriminative, and the exact
+    cosine runs only on surviving candidate pairs. The md5-derived planes
+    make the DuckDB oracle reproduce the identical bucketing."""
+    return neardup_pairs(load(spark, sf_dir, "embeddings"))
 
 
 _IVF_K = 8  # coarse cells; centroids = embeddings of vec_id 0.._IVF_K-1
@@ -180,24 +281,6 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("cos_m").desc(), "vec_id")
         .limit(10)
     )
-
-
-def _hyperplanes() -> np.ndarray:
-    """Deterministic ±1 hyperplanes from md5 parities — reproducible in SQL."""
-    w = np.empty((_PLANES, _DIM), dtype=np.float64)
-    for j in range(_PLANES):
-        for d in range(_DIM):
-            h = hashlib.md5(f"{j}-{d}".encode()).hexdigest()
-            w[j, d] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
-    return w
-
-
-def _lsh_weights_sql() -> str:
-    w = _hyperplanes()
-    rows = ", ".join(
-        f"({j}, {d}, {int(w[j, d])})" for j in range(_PLANES) for d in range(_DIM)
-    )
-    return f"(VALUES {rows}) AS w(plane, dim, wt)"
 
 
 @query(

@@ -55,6 +55,18 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup before the timed loop (mirrors the maintenance bench's
+    # warmup pass): first-query JVM class-loading / codegen / Python-worker
+    # spawn / Arrow arena growth otherwise all land in whichever query runs
+    # first, making its number incomparable across rounds. Warm each
+    # execution path (JVM scan+agg, vectorized pandas UDF, grouped-map) on
+    # the smallest SF so the warmup itself is cheap.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in ("pricing_summary", "ann_lsh_buckets", "grouped_features"):
+        QUERIES[name](spark, warm_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -67,7 +79,9 @@ def main() -> None:
     maint_rows = MAINT_ROWS.get(sf, max(2000, int(float(sf) * 1_200_000)))
     # 8MB target: compaction bins and cluster cells both get >= 2 task waves
     # at local[32], so the maintenance phases can actually use the cores
-    maint = run_maintenance_bench(spark, n_rows=maint_rows, target_bytes=8 * 1024 * 1024)
+    maint = run_maintenance_bench(
+        spark, n_rows=maint_rows, target_bytes=8 * 1024 * 1024, hilbert=True
+    )
     timings["maintenance_compact_zorder"] = maint["maintenance_s"]
     print(f"# maintenance: {maint}", file=sys.stderr)
 

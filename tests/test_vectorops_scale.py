@@ -1,0 +1,62 @@
+"""Scale-shape assertions for the embedding near-dup operator.
+
+embedding_neardup must stay bounded when one label (or one LSH bucket) is
+hot: candidates come from capped (label, band, signature) buckets, never a
+raw label self-join, so a degenerate corpus cannot go quadratic on a single
+shuffle key.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_pipeline_via_lakehouse_spark.plans.vectorops import _ND_CAP, neardup_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+
+def test_neardup_hot_bucket_cannot_go_quadratic(spark):
+    """A label whose members all collide into one LSH bucket (identical
+    vectors) past the cap contributes ZERO candidate pairs — the bucket is
+    dropped whole, like textops' hot-shingle cap — while genuine near-dups
+    in normal-sized buckets are still found."""
+    base = np.ones(64, dtype=np.float64)
+    rows = [(i, "hot", base.tolist()) for i in range(_ND_CAP * 3)]
+    v1 = ((np.arange(64) % 7) + 1.0) - 4.0  # mixed-sign, non-degenerate
+    v2 = v1.copy()
+    v2[0] += 1e-3  # near-identical: cosine ~ 1.0, same signature
+    rows += [(1000, "ok", v1.tolist()), (1001, "ok", v2.tolist())]
+    out = neardup_pairs(_df(spark, rows)).collect()
+    pairs = {(r.v1, r.v2) for r in out}
+    assert (1000, 1001) in pairs  # genuine near-dup survives
+    # the 384-member hot bucket yields no pairs at all (384^2/2 would be 73k)
+    assert all(v >= 1000 for p in pairs for v in p), pairs
+
+
+def test_neardup_bucket_at_cap_still_pairs(spark):
+    """Buckets at exactly the cap are kept: the cap drops only oversized
+    (non-discriminative) buckets."""
+    base = -np.ones(64, dtype=np.float64)
+    rows = [(i, "edge", base.tolist()) for i in range(_ND_CAP)]
+    out = neardup_pairs(_df(spark, rows)).collect()
+    # all-identical vectors, bucket size == cap -> all C(cap,2) pairs, cos 1.0
+    assert len(out) == _ND_CAP * (_ND_CAP - 1) // 2
+    assert all(r.cos_m == 1000 for r in out)
+
+
+def test_neardup_plan_has_no_cartesian_join(spark):
+    """The candidate join must be a hash equi-join on (label, band, sig) —
+    never a cartesian/broadcast-nested-loop over raw vectors."""
+    from batch_pipeline_via_lakehouse_spark.plans.vectorops import embedding_neardup
+
+    df = embedding_neardup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
