@@ -287,6 +287,7 @@ def _cluster_spark(
                 {f.path for f in pfiles},
                 "cluster",
                 {"partitions": [pk for pk, _ in bundle], "mode": mode},
+                spark=spark,
             )
             for pk, in_f in bundle:
                 out_f = out_by_pk.get(pk, [])
@@ -626,6 +627,7 @@ def _cluster_native(
                 {f.path for _, fl in bundle for f in fl},
                 "cluster",
                 {"partitions": [pk for pk, _ in bundle], "mode": mode, "impl": "native"},
+                spark=spark,
             )
             for i, (pk, in_f) in enumerate(bundle):
                 out_f = out_by_pk.get(i, [])

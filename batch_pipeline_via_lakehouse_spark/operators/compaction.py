@@ -247,6 +247,7 @@ def compact(
                 {f.path for _, files in bundle for f in files},
                 "compact",
                 {"job_id": job_id, "groups": [gk for gk, _ in bundle]},
+                spark=spark,
             )
             for i, (gk, in_files) in enumerate(bundle):
                 out_f = [by_idx[i]] if i in by_idx else []

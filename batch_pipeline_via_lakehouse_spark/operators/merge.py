@@ -52,14 +52,68 @@ def dedup_source(source: DataFrame, key_cols: list[str], order_desc: list[str]) 
     )
 
 
+def _source_key_stats(source: DataFrame, key_cols: list[str]) -> dict[str, tuple]:
+    """One aggregate over the source: per key column (min, max, has_null).
+    O(source) — cheap next to the key-scan and rewrite the merge runs anyway."""
+    aggs = []
+    for k in key_cols:
+        aggs += [
+            F.min(k).alias(f"_min_{k}"),
+            F.max(k).alias(f"_max_{k}"),
+            F.sum(F.col(k).isNull().cast("long")).alias(f"_nulls_{k}"),
+        ]
+    row = source.agg(*aggs).collect()[0]
+    return {
+        k: (row[f"_min_{k}"], row[f"_max_{k}"], bool(row[f"_nulls_{k}"] or 0))
+        for k in key_cols
+    }
+
+
+def _merge_candidates(live: list, key_stats: dict[str, tuple]) -> list:
+    """Manifest-stats pre-prune for MERGE planning: a file can hold a match
+    only if, for EVERY key column, its min/max range overlaps the source key
+    range — or it contains nulls while the source has null keys (null-safe
+    `<=>` matching means NULL source keys are real matches). Missing stats
+    keep the file (pruning must be sound); incomparable types (e.g. stats
+    JSON-stringified timestamps vs source datetimes) keep the file too."""
+    out = []
+    for f in live:
+        keep = True
+        for col, (lo, hi, src_null) in key_stats.items():
+            fmin, fmax = f.stat(col, "min"), f.stat(col, "max")
+            fnulls = f.stat(col, "nulls")
+            may = False
+            if lo is not None:
+                if fmin is None or fmax is None:
+                    may = True  # no stats for this col — cannot rule out
+                else:
+                    try:
+                        may = not (fmax < lo or fmin > hi)
+                    except TypeError:
+                        may = True
+            if not may and src_null:
+                may = fnulls is None or fnulls > 0
+            if not may:
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def _affected_files(
     spark: SparkSession, table: Table, source: DataFrame, key_cols: list[str], snapshot_id: int
 ) -> tuple[list, list]:
-    """Split live files into (with-matching-keys, without). Reads only the key
-    columns of the target (column-pruned parquet scan)."""
+    """Split live files into (with-matching-keys, without). Two stages:
+    manifest min/max stats on the key columns rule files out metadata-only
+    (never opened at all), then a column-pruned key scan of the surviving
+    candidates decides exactly."""
     live = table.live_files(snapshot_id)
     if not live:
         return [], []
+    cand = _merge_candidates(live, _source_key_stats(source, key_cols))
+    if not cand:
+        return [], list(live)
     # planning must classify files with the SAME match semantics the rewrite
     # uses (null-safe <=>): an on=key_cols semi-join would drop null-key
     # matches, mis-classify their file as untouched, and duplicate the key
@@ -67,7 +121,7 @@ def _affected_files(
     for k in key_cols:
         null_safe = null_safe & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
     keys_with_file = (
-        table.read_files(spark, live)
+        table.read_files(spark, cand)
         .select(*key_cols, F.input_file_name().alias("_file"))
         .alias("t")
         .join(source.select(*key_cols).distinct().alias("s"), on=null_safe, how="left_semi")
@@ -198,6 +252,7 @@ def merge_scd1(
         "merge",
         {"job_id": job_id, "mode": "scd1", "affected-files": len(affected),
          "carried-files": len(untouched)},
+        spark=spark,
     )
     log = CommitLog(table.root, job_id)
     log.record(
@@ -289,6 +344,7 @@ def merge_scd2(
         {f.path for f in affected},
         "merge",
         {"job_id": job_id, "mode": "scd2", "affected-files": len(affected)},
+        spark=spark,
     )
     CommitLog(table.root, job_id).record(
         partition="merge",

@@ -60,6 +60,27 @@ def is_batch_committed(table: Table, query_name: str, batch_id: int) -> bool:
     return batch_id in committed_batch_ids(table, query_name)
 
 
+def batch_writer(table: Table, query_name: str, num_files: int | None = None):
+    """The exactly-once foreachBatch sink: skip batch ids already committed
+    under ``query_name``, else write + commit with the id recorded in the
+    snapshot summary. Exposed so replay semantics are directly unit-testable
+    (calling the writer twice with one batch id must commit once)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if is_batch_committed(table, query_name, batch_id):
+            return  # replayed micro-batch after restart — already committed
+        files = table.write_datafiles(batch_df, num_files=num_files)
+        if files:
+            table.commit(
+                files,
+                set(),
+                "append",
+                {"stream-query": query_name, "stream-batch-id": batch_id},
+            )
+
+    return write_batch
+
+
 def stream_append(
     stream_df: DataFrame,
     table: Table,
@@ -74,24 +95,11 @@ def stream_append(
     it are skipped on replay. It must therefore be UNIQUE per logical stream —
     reusing a name for a brand-new stream (fresh checkpoint) would silently
     drop its early batches as 'already committed'."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if is_batch_committed(table, query_name, batch_id):
-            return  # replayed micro-batch after restart — already committed
-        files = table.write_datafiles(batch_df, num_files=num_files)
-        if files:
-            table.commit(
-                files,
-                set(),
-                "append",
-                {"stream-query": query_name, "stream-batch-id": batch_id},
-            )
-
     writer = (
         stream_df.writeStream.queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(write_batch)
+        .foreachBatch(batch_writer(table, query_name, num_files))
     )
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
@@ -102,11 +110,53 @@ def stream_append(
 
 def read_kafka(spark: SparkSession, servers: str, topic: str) -> DataFrame:
     """Kafka source builder (S4; `_bronze_handler.py:66-73`). Requires the
-    spark-sql-kafka package on the cluster; no broker in this sandbox."""
+    spark-sql-kafka package on the cluster; no broker in this sandbox — use
+    ``read_kafka_standin`` for broker-less end-to-end tests of the same
+    downstream pipeline."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .load()
+    )
+
+
+# Kafka record shape as Spark's kafka source presents it — the stand-in
+# produces the identical schema so every transformation written against
+# read_kafka() (e.g. the reference's CAST(value AS STRING) + from_json parse)
+# runs unchanged against it.
+KAFKA_RECORD_DDL = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+_STANDIN_FILE_DDL = (
+    "key string, value string, topic string, partition int, offset long, "
+    "timestamp timestamp"
+)
+
+
+def read_kafka_standin(spark: SparkSession, log_dir: str, topic: str) -> DataFrame:
+    """In-process Kafka stand-in (S4 test double): a file-backed stream over
+    JSONL 'broker log' files with the exact column set and types of Spark's
+    kafka source (key/value as binary, topic/partition/offset/timestamp/
+    timestampType). Producers append files to ``log_dir``; Structured
+    Streaming's file tracking plays the micro-batch role of consumer offsets,
+    and the engine sink's batch-id dedup provides the same exactly-once
+    guarantee the Kafka path gets. No broker required."""
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.schema(_STANDIN_FILE_DDL).json(log_dir)
+    return (
+        raw.filter(F.col("topic") == topic)
+        .select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            F.lit(0).alias("timestampType"),  # CreateTime, like the broker default
+        )
     )

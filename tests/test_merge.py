@@ -175,3 +175,78 @@ def test_scd1_null_key_updates_not_duplicates(spark, tmp_path):
     assert got.filter(F.col("doc_id").isNull()).count() == 1
     assert got.filter(F.col("doc_id").isNull()).select("source").first()[0] == "updated-src"
     assert r["affected_files"] >= 1
+
+
+def test_merge_candidates_stats_and_nulls():
+    """Pure stats pre-prune logic: range overlap, null-key handling, and
+    missing-stats soundness."""
+    from batch_pipeline_via_lakehouse_spark.operators.merge import _merge_candidates
+    from batch_pipeline_via_lakehouse_spark.table.format import DataFile
+
+    def mk(p, lo, hi, nulls):
+        return DataFile(
+            path=p, partition={}, rows=1, bytes=1,
+            stats={"k": {"min": lo, "max": hi, "nulls": nulls}},
+        )
+
+    a, b, c = mk("a", 0, 10, 0), mk("b", 20, 30, 0), mk("c", 40, 50, 3)
+    nostats = DataFile(path="d", partition={}, rows=1, bytes=1, stats={})
+    # source keys 5..8, no nulls -> only a (+ d: missing stats keeps the file)
+    got = {f.path for f in _merge_candidates([a, b, c, nostats], {"k": (5, 8, False)})}
+    assert got == {"a", "d"}
+    # source has a null key -> null-safe match: null-having files (c) join in
+    got = {f.path for f in _merge_candidates([a, b, c, nostats], {"k": (5, 8, True)})}
+    assert got == {"a", "c", "d"}
+    # all-null source keys -> only null-having + unknown-stats files
+    got = {f.path for f in _merge_candidates([a, b, c, nostats], {"k": (None, None, True)})}
+    assert got == {"c", "d"}
+
+
+def test_merge_planning_never_opens_stats_pruned_files(spark, tmp_path, monkeypatch):
+    """Files whose key-column manifest stats cannot overlap the source key
+    range are never read during MERGE planning (metadata-only pruning), yet
+    classification and results are identical to the unpruned plan."""
+    from batch_pipeline_via_lakehouse_spark.operators import merge as M
+
+    def build(name):
+        t = Table.create(str(tmp_path / name), TOKEN_SCHEMA)
+        df = token_table_df(spark, 2000, seed=2).repartitionByRange(10, "doc_id")
+        t.commit(t.write_datafiles(df), set(), "append")
+        return t
+
+    t = build("t")
+    live = t.live_files()
+    source = token_table_df(spark, 40, seed=77)  # low doc-id range only
+    b = source.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    smin, smax = b[0], b[1]
+    out_of_range = {
+        f.path
+        for f in live
+        if f.stat("doc_id", "max") < smin or f.stat("doc_id", "min") > smax
+    }
+    assert out_of_range  # the range layout actually creates prunable files
+
+    calls = []
+    orig = Table.read_files
+
+    def spy(self, spark_, files):
+        calls.append({f.path for f in files})
+        return orig(self, spark_, files)
+
+    monkeypatch.setattr(Table, "read_files", spy)
+    r = merge_scd1(spark, t, source, key_cols=["doc_id"])
+    # first read_files call is the planning key-scan: stats-pruned files are
+    # never opened there (nor anywhere later — they are carried by manifest)
+    assert calls and not (calls[0] & out_of_range)
+    assert not any(p in call for call in calls for p in out_of_range)
+    assert out_of_range <= {f.path for f in t.live_files()}  # carried, live
+    monkeypatch.undo()
+
+    # identical classification + content vs the unpruned plan
+    t2 = build("t2")
+    monkeypatch.setattr(M, "_merge_candidates", lambda live_, stats_: list(live_))
+    r2 = merge_scd1(spark, t2, source, key_cols=["doc_id"])
+    monkeypatch.undo()
+    assert r["affected_files"] == r2["affected_files"]
+    assert r["carried_files"] == r2["carried_files"]
+    assert content_checksum(t.scan(spark), COLS) == content_checksum(t2.scan(spark), COLS)

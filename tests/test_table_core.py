@@ -85,3 +85,39 @@ def test_append_native_equals_append(spark, tmp_path):
     assert _tok_checksum(a.scan(spark)) == _tok_checksum(b.scan(spark))
     fb = b.live_files()[0]
     assert fb.partition.get("source") and fb.stat("n_tok", "sum") is not None
+
+
+def test_distributed_commit_matches_driver_commit(spark, tmp_path):
+    """The Spark-job manifest filter in commit() must produce the identical
+    snapshot as the driver fold: same live-file set, untouched manifests
+    reused by name, touched manifests rewritten minus the removed entries."""
+    import shutil
+
+    src_root = str(tmp_path / "t")
+    t = Table.create(src_root, TOKEN_SCHEMA, partition_by=["source"])
+    for k in range(6):  # 6 append snapshots -> 6 manifests
+        t.append(token_table_df(spark, 200, seed=300 + k), num_files=2)
+    live = sorted(t.live_files(), key=lambda f: f.path)
+    assert len(t.snapshot(t.current_snapshot_id()).manifests) >= 6
+    # remove a subset that touches SOME manifests but not all
+    removed = {f.path for f in live[:: max(1, len(live) // 5)]}
+
+    clone_root = str(tmp_path / "t2")
+    shutil.copytree(src_root, clone_root)
+    t2 = Table.load(clone_root)
+
+    before_manifests = set(t.snapshot(t.current_snapshot_id()).manifests)
+    t.commit([], removed, "expire", distributed=False)
+    t2.commit([], removed, "expire", spark=spark, distributed=True)
+
+    live1 = {f.path for f in t.live_files()}
+    live2 = {f.path for f in t2.live_files()}
+    assert live1 == live2
+    assert removed.isdisjoint(live1)
+    # untouched manifests reused by name on BOTH paths
+    kept1 = before_manifests & set(t.snapshot(t.current_snapshot_id()).manifests)
+    kept2 = before_manifests & set(t2.snapshot(t2.current_snapshot_id()).manifests)
+    assert kept1 == kept2
+    assert kept1  # some manifests genuinely untouched
+    # and the data content is identical
+    assert content_checksum(t.scan(spark)) == content_checksum(t2.scan(spark))
