@@ -66,3 +66,37 @@ def test_scan_with_pruning_distributed_same_rows(spark, tmp_path):
 def test_snapshot_file_count_matches_live_files(spark, tmp_path):
     t = _table(spark, tmp_path)
     assert snapshot_file_count(t) == len(t.live_files())
+
+
+def test_compaction_planning_distributed_matches_driver(spark, tmp_path):
+    """The Spark-job small-file listing must yield the identical file set AND
+    the identical FFD bin plan as the driver fold (resume keys line up
+    regardless of which path planned)."""
+    import batch_pipeline_via_lakehouse_spark.sources.scan as S
+    from batch_pipeline_via_lakehouse_spark.operators.compaction import (
+        plan_compaction,
+        small_live_files,
+    )
+
+    t = _table(spark, tmp_path)
+    thresh = 64 * 1024 * 1024
+    a = small_live_files(t, thresh, distributed=False)
+    b = small_live_files(t, thresh, spark=spark, distributed=True)
+    assert sorted(f.path for f in a) == sorted(f.path for f in b)
+    assert a  # listing is non-trivial
+
+    def shape(plan):
+        return {
+            pk: [[f.path for f in group] for group in bins]
+            for pk, bins in plan.bins.items()
+        }
+
+    plan_driver = plan_compaction(t, target_bytes=thresh)
+    old = S.DISTRIBUTED_PLAN_THRESHOLD
+    S.DISTRIBUTED_PLAN_THRESHOLD = 0  # force the Spark-job listing
+    try:
+        plan_dist = plan_compaction(t, target_bytes=thresh, spark=spark)
+    finally:
+        S.DISTRIBUTED_PLAN_THRESHOLD = old
+    assert shape(plan_driver) == shape(plan_dist)
+    assert plan_driver.n_bins > 0
