@@ -30,6 +30,7 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     gc: bool = True,
     gc_grace_ms: int = 24 * 3600 * 1000,
+    spark=None,
 ) -> dict:
     """Expire snapshots outside the retention policy; optionally GC files that
     only they referenced. Returns a report of what was removed.
@@ -78,7 +79,7 @@ def expire_snapshots(
         "swept_staging": 0,
     }
     if gc:
-        g = gc_orphans(table, grace_ms=gc_grace_ms)
+        g = gc_orphans(table, grace_ms=gc_grace_ms, spark=spark)
         report.update(
             deleted_files=g["deleted_files"],
             deleted_manifests=g["deleted_manifests"],
@@ -87,30 +88,57 @@ def expire_snapshots(
     return report
 
 
-def gc_orphans(table: Table, grace_ms: int = 24 * 3600 * 1000) -> dict:
+def gc_orphans(
+    table: Table,
+    grace_ms: int = 24 * 3600 * 1000,
+    spark=None,
+    distributed: bool | None = None,
+) -> dict:
     """Delete data files and manifests unreachable from any retained snapshot.
 
     ``grace_ms`` protects recently-written files (in-flight commits that have
     not yet flipped VERSION). Set 0 only when no writer is running.
-    """
-    live_data: set[str] = set()
-    live_manifests: set[str] = set()
-    for s in table.snapshots():
-        live_manifests.update(s.manifests)
-        for f in table.live_files(s.snapshot_id):
-            live_data.add(os.path.join(table.root, f.path))
 
+    ``distributed=None`` auto-selects: with a session and more than
+    DISTRIBUTED_PLAN_THRESHOLD live files, both the reachability set and the
+    storage listing/delete run as Spark jobs (one task per commit dir) —
+    identical deletions to the driver fold, pytest-asserted. Below it the
+    driver fold wins (no job-launch latency)."""
+    if distributed is None:
+        from ..sources.scan import DISTRIBUTED_PLAN_THRESHOLD, snapshot_file_count
+
+        distributed = (
+            spark is not None
+            and snapshot_file_count(table) > DISTRIBUTED_PLAN_THRESHOLD
+        )
     cutoff = now_ms() - grace_ms
-    deleted_files = 0
-    for p in glob.glob(os.path.join(table.data_dir, "**", "*"), recursive=True):
-        if not os.path.isfile(p):
-            continue
-        if p in live_data:
-            continue
-        if os.path.getmtime(p) * 1000 > cutoff:
-            continue
-        os.remove(p)
-        deleted_files += 1
+    if distributed:
+        if spark is None:
+            raise ValueError("distributed GC requires a SparkSession")
+        deleted_files = _gc_data_distributed(spark, table, cutoff)
+        live_manifests = {m for s in table.snapshots() for m in s.manifests}
+    else:
+        live_data: set[str] = set()
+        live_manifests = set()
+        for s in table.snapshots():
+            live_manifests.update(s.manifests)
+            for f in table.live_files(s.snapshot_id):
+                live_data.add(f.path)
+
+        deleted_files = 0
+        # os.walk, not glob: glob skips dotfiles, which would leave orphaned
+        # Hadoop .crc sidecars behind forever. A sidecar lives iff its data
+        # file lives (_gc_guard_path), so live files keep their checksums.
+        for sub, _, names in os.walk(table.data_dir):
+            for n in names:
+                p = os.path.join(sub, n)
+                rel = os.path.relpath(p, table.root)
+                if _gc_guard_path(rel) in live_data:
+                    continue
+                if os.path.getmtime(p) * 1000 > cutoff:
+                    continue
+                os.remove(p)
+                deleted_files += 1
 
     deleted_manifests = 0
     for p in glob.glob(os.path.join(table.metadata_dir, "manifest-*.parquet")):
@@ -155,3 +183,74 @@ def gc_orphans(table: Table, grace_ms: int = 24 * 3600 * 1000) -> dict:
         "deleted_manifests": deleted_manifests,
         "swept_staging": swept_staging,
     }
+
+
+def _gc_guard_path(rel: str) -> str:
+    """Liveness key for a storage path: a Hadoop checksum sidecar
+    (``.<name>.crc``) lives exactly as long as its data file does."""
+    d, name = os.path.split(rel)
+    if name.startswith(".") and name.endswith(".crc"):
+        return os.path.join(d, name[1:-4])
+    return rel
+
+
+def _gc_data_distributed(spark, table: Table, cutoff_ms: int) -> int:
+    """Spark-job orphan deletion: union-of-snapshots reachability as a
+    DataFrame (manifests are plain Parquet), a listing task per commit dir
+    (`data/<uuid>` — the natural storage-prefix shards), a left-anti join to
+    find orphans, and executor-side mtime-guarded deletes. The driver never
+    materializes the file list."""
+    import pandas as pd
+
+    from ..sources.scan import manifest_df
+
+    live = None
+    for s in table.snapshots():
+        mdf = manifest_df(spark, table, s.snapshot_id).select("path")
+        live = mdf if live is None else live.union(mdf)
+    if live is None:
+        live = spark.createDataFrame([], "path string")
+    live = live.distinct()
+
+    root, data_dir = table.root, table.data_dir
+    commit_dirs = sorted(
+        d for d in os.listdir(data_dir) if os.path.isdir(os.path.join(data_dir, d))
+    )
+    if not commit_dirs:
+        return 0
+
+    def list_task(pdfs):
+        for pdf in pdfs:
+            rows, guards = [], []
+            for d in pdf["dir"]:
+                for sub, _, names in os.walk(os.path.join(data_dir, d)):
+                    for n in names:
+                        rel = os.path.relpath(os.path.join(sub, n), root)
+                        rows.append(rel)
+                        guards.append(_gc_guard_path(rel))
+            yield pd.DataFrame({"path": rows, "guard": guards})
+
+    n_tasks = min(len(commit_dirs), max(1, spark.sparkContext.defaultParallelism * 2))
+    found = (
+        spark.createDataFrame([(d,) for d in commit_dirs], "dir string")
+        .repartition(n_tasks)
+        .mapInPandas(list_task, "path string, guard string")
+    )
+    orphans = found.join(
+        live.withColumnRenamed("path", "guard"), "guard", "left_anti"
+    ).select("path")
+
+    def delete_task(pdfs):
+        n = 0
+        for pdf in pdfs:
+            for rel in pdf["path"]:
+                p = os.path.join(root, rel)
+                try:
+                    if os.path.getmtime(p) * 1000 <= cutoff_ms:
+                        os.remove(p)
+                        n += 1
+                except OSError:
+                    continue  # already gone (concurrent GC) — not an error
+        yield pd.DataFrame({"n": [n]})
+
+    return int(sum(r.n for r in orphans.mapInPandas(delete_task, "n long").collect()))

@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_topk",
     "embedding_neardup",
     "ann_lsh_buckets",
+    "pack_sequences",
+    "stratified_sample",
 ]
 
 # maintenance table sizing: rows scale with sf (sf0.1 -> 120k sequences,

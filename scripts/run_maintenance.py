@@ -61,7 +61,8 @@ def main() -> None:
         reports["rewrite-manifests"] = rewrite_manifests(table)
     if args.op == "expire":
         reports["expire"] = expire_snapshots(
-            table, retain_last=args.retain_last, gc=True, gc_grace_ms=args.gc_grace_ms
+            table, retain_last=args.retain_last, gc=True,
+            gc_grace_ms=args.gc_grace_ms, spark=spark,
         )
 
     print(json.dumps(reports, default=str))

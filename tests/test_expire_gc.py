@@ -58,7 +58,14 @@ def test_gc_removes_uncommitted_junk_respects_grace(spark, tmp_path):
     # inside grace window -> protected
     assert gc_orphans(t, grace_ms=10 * 60 * 1000)["deleted_files"] == 0
     assert os.path.exists(junk)
-    # outside grace window -> deleted (marker/crc files may be swept too)
+    # outside grace window -> deleted (marker/crc files may be swept too).
+    # Backdate the junk so the assertion does not race this VM's episodic
+    # clock steps: a file whose mtime lands at/after the cutoff is correctly
+    # protected by grace semantics, which is not what this test probes.
+    import time
+
+    past = time.time() - 3600
+    os.utime(junk, (past, past))
     assert gc_orphans(t, grace_ms=0)["deleted_files"] >= 1
     assert not os.path.exists(junk)
     # live data untouched
@@ -146,3 +153,47 @@ def test_staging_sweep_uses_newest_nested_mtime(spark, tmp_path):
     assert not os.path.isdir(os.path.join(t.root, "_staging", "job-dead"))
     assert report["swept_staging"] == 1
     assert report["deleted_files"] == 0  # staging dirs are not data files
+
+
+def test_distributed_gc_matches_driver_gc(spark, tmp_path):
+    """The Spark-job reachability GC must delete exactly what the driver fold
+    deletes: same surviving files, same deletion count, on cloned tables."""
+    import shutil
+
+    from batch_pipeline_via_lakehouse_spark.operators.expire import (
+        expire_snapshots,
+        gc_orphans,
+    )
+
+    def build(name):
+        t = Table.create(str(tmp_path / name), TOKEN_SCHEMA, partition_by=["source"])
+        for k in range(3):
+            t.append(token_table_df(spark, 150, seed=500 + k), num_files=2)
+        t.overwrite(token_table_df(spark, 150, seed=503), num_files=2)
+        # drop every snapshot but the current -> earlier filesets are orphans
+        expire_snapshots(t, retain_last=1, gc=False)
+        # plus a stray uncommitted file
+        stray = os.path.join(t.data_dir, "stray", "leftover.parquet")
+        os.makedirs(os.path.dirname(stray))
+        with open(stray, "w") as f:
+            f.write("x")
+        return t
+
+    import os
+
+    t1 = build("t1")
+    shutil.copytree(t1.root, str(tmp_path / "t2"))
+    t2 = Table.load(str(tmp_path / "t2"))
+
+    r1 = gc_orphans(t1, grace_ms=0, distributed=False)
+    r2 = gc_orphans(t2, grace_ms=0, spark=spark, distributed=True)
+    assert r1["deleted_files"] == r2["deleted_files"] > 0
+
+    def files_under(root):
+        out = set()
+        for sub, _, names in os.walk(os.path.join(root, "data")):
+            out |= {os.path.relpath(os.path.join(sub, n), root) for n in names}
+        return out
+
+    assert files_under(t1.root) == files_under(t2.root)
+    assert content_checksum(t1.scan(spark)) == content_checksum(t2.scan(spark))

@@ -1,0 +1,99 @@
+"""Sequence packing: the distributed concatenate-then-chunk materializer must
+equal the obvious single-threaded reference, and the pack_sequences roster
+query must agree with the materialized windows."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from batch_pipeline_via_lakehouse_spark.plans.packing import pack_token_windows
+
+SCHEMA = "doc_id long, tokens array<int>, n_tok int, source string"
+
+
+def _mk(spark, docs):
+    rows = [(i, toks, len(toks), src) for i, (src, toks) in enumerate(docs)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _reference(docs, L, drop_partial=True):
+    """Single-threaded truth: per source, concatenate in doc_id order, chunk."""
+    by_src = {}
+    for i, (src, toks) in enumerate(docs):
+        by_src.setdefault(src, []).append((i, toks))
+    out = {}
+    for src, items in by_src.items():
+        stream = [t for _, toks in sorted(items) for t in toks]
+        for b in range(0, len(stream), L):
+            chunk = stream[b : b + L]
+            if drop_partial and len(chunk) < L:
+                continue
+            out[(src, b // L)] = chunk
+    return out
+
+
+def test_pack_token_windows_matches_reference(spark):
+    L = 16
+    docs = []
+    v = 0
+    import random
+
+    rng = random.Random(7)
+    for i in range(60):
+        src = ("a", "b", "c")[i % 3]
+        n = rng.choice([3, 5, 11, 16, 23, 40])  # spans 0..3 window boundaries
+        docs.append((src, list(range(v, v + n))))
+        v += n
+    got = {
+        (r.source, r.bin): list(r.tokens)
+        for r in pack_token_windows(_mk(spark, docs), ctx_len=L).collect()
+    }
+    assert got == _reference(docs, L)
+
+
+def test_pack_token_windows_keep_partial_and_empty_docs(spark):
+    L = 8
+    docs = [("a", [1, 2, 3]), ("a", []), ("a", [4, 5, 6, 7, 8, 9, 10])]
+    full = pack_token_windows(_mk(spark, docs), ctx_len=L, drop_partial=False).collect()
+    got = {(r.source, r.bin): list(r.tokens) for r in full}
+    # 10 tokens total: window 0 full, window 1 partial (2 tokens)
+    assert got == {("a", 0): [1, 2, 3, 4, 5, 6, 7, 8], ("a", 1): [9, 10]}
+    dropped = pack_token_windows(_mk(spark, docs), ctx_len=L).collect()
+    assert {(r.source, r.bin) for r in dropped} == {("a", 0)}
+
+
+def test_pack_roster_consistent_with_windows(spark, tmp_path):
+    """pack_sequences assigns each doc to the window its FIRST token lands
+    in; re-deriving that roster from the raw docs must match the query."""
+    from batch_pipeline_via_lakehouse_spark.plans.packing import _CTX, pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    roster = {
+        (r.source, r.bin): (r.n_docs, r.n_tokens)
+        for r in pack_sequences(spark, sf).collect()
+    }
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            F.col("source").cast("string").alias("source"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in sorted(d, key=lambda r: (r.source, r.doc_id)):
+        off = by_src.setdefault(r.source, [0])[-1]
+        by_src[r.source].append(off + r.n_tok)
+    expect = {}
+    for src, rows in [(s, [r for r in d if r.source == s]) for s in by_src]:
+        off = 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            key = (src, off // _CTX)
+            n, t = expect.get(key, (0, 0))
+            expect[key] = (n + 1, t + r.n_tok)
+            off += r.n_tok
+    assert roster == expect
