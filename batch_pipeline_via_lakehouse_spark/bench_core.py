@@ -21,16 +21,23 @@ def _warmup_pass(spark, root: str, n_rows: int, fragment_files: int, target_byte
     """Untimed mini maintenance pass: spawns every Python worker, JIT-compiles
     the JVM hot paths, and grows worker allocator arenas to working-set size —
     one-time costs that otherwise land in (and distort) the first timed phase,
-    disproportionately at high core counts."""
-    wdir = os.path.join(root, "warmup")
-    wt = Table.create(wdir, TOKEN_SCHEMA, partition_by=["source"])
-    wt.append_native(
-        token_table_df(spark, max(4000, n_rows // 20), seed=1),
-        num_files=max(8, fragment_files // 4),
-    )
-    compact(spark, wt, target_bytes=target_bytes)
-    cluster(spark, wt, mode="zorder", target_bytes=target_bytes)
-    shutil.rmtree(wdir, ignore_errors=True)
+    disproportionately at high core counts. The scratch table gets a unique
+    dir (and is removed in finally-order by the rmtree below): a fixed name
+    would collide with leftovers of a killed prior run (Table.create refuses
+    to reuse a directory) and with sibling benches sharing one parent."""
+    import uuid
+
+    wdir = os.path.join(root, f"warmup-{uuid.uuid4().hex[:8]}")
+    try:
+        wt = Table.create(wdir, TOKEN_SCHEMA, partition_by=["source"])
+        wt.append_native(
+            token_table_df(spark, max(4000, n_rows // 20), seed=1),
+            num_files=max(8, fragment_files // 4),
+        )
+        compact(spark, wt, target_bytes=target_bytes)
+        cluster(spark, wt, mode="zorder", target_bytes=target_bytes)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
 
 
 def build_fragmented_table(

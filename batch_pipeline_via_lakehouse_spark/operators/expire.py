@@ -213,17 +213,23 @@ def _gc_data_distributed(spark, table: Table, cutoff_ms: int) -> int:
     live = live.distinct()
 
     root, data_dir = table.root, table.data_dir
+    # shards: one per commit dir, plus "" for files sitting directly in
+    # data_dir (a crashed writer can leave those too — the driver fold walks
+    # them, so the distributed path must as well)
     commit_dirs = sorted(
         d for d in os.listdir(data_dir) if os.path.isdir(os.path.join(data_dir, d))
-    )
-    if not commit_dirs:
-        return 0
+    ) + [""]
 
     def list_task(pdfs):
         for pdf in pdfs:
             rows, guards = [], []
             for d in pdf["dir"]:
-                for sub, _, names in os.walk(os.path.join(data_dir, d)):
+                if d == "":
+                    top = [e.name for e in os.scandir(data_dir) if e.is_file()]
+                    walk = [(data_dir, [], top)]
+                else:
+                    walk = os.walk(os.path.join(data_dir, d))
+                for sub, _, names in walk:
                     for n in names:
                         rel = os.path.relpath(os.path.join(sub, n), root)
                         rows.append(rel)

@@ -178,7 +178,13 @@ def merge_scd1(
     tracked = tracked_cols or [c for c in cols if c not in key_cols]
     if dedup_order:
         source = dedup_source(source, key_cols, dedup_order)
-    source = source.select(*cols)
+    # one materialization for all three consumers (key-stats aggregate,
+    # planning semi-join, rewrite join): avoids recomputing an expensive
+    # source lineage and — crucial for correctness — guarantees the pruning
+    # stats describe the exact rows the scan and rewrite later see (a
+    # non-deterministic source re-evaluation could otherwise slip keys past
+    # the stats pre-prune)
+    source = _src_cached = source.select(*cols).persist()
 
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
@@ -265,6 +271,7 @@ def merge_scd1(
         tokens=0,
         seconds=time.monotonic() - t0,
     )
+    _src_cached.unpersist()
     return {
         "snapshot": sid,
         "affected_files": len(affected),
@@ -297,7 +304,8 @@ def merge_scd2(
     data_cols = [c for c in cols if c not in SCD2_COLS]
     if dedup_order:
         source = dedup_source(source, key_cols, dedup_order)
-    source = source.select(*[c for c in data_cols])
+    # persist: same single-evaluation guarantee as merge_scd1
+    source = _src_cached = source.select(*[c for c in data_cols]).persist()
 
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
@@ -356,4 +364,5 @@ def merge_scd2(
         tokens=0,
         seconds=time.monotonic() - t0,
     )
+    _src_cached.unpersist()
     return {"snapshot": sid, "affected_files": len(affected), "carried_files": len(untouched)}

@@ -105,15 +105,18 @@ def pack_token_windows(df: DataFrame, ctx_len: int = _CTX, drop_partial: bool = 
         "source",
         "_start",
         F.explode(
+            # window ids and offsets stay BIGINT end to end: a source's
+            # cumulative offset passes 2^31 long before trillion-token scale,
+            # and int math here would wrap silently with ANSI off. Only the
+            # final slice start/length (bounded by n_tok) narrows to int.
             F.expr(
                 f"""transform(
-                      sequence(cast(_start div {L} as int),
-                               cast((_start + n_tok - 1) div {L} as int)),
+                      sequence(_start div {L}, (_start + n_tok - 1) div {L}),
                       b -> struct(
-                        cast(b as long) as bin,
+                        b as bin,
                         slice(tokens,
                               cast(greatest(0L, b * {L} - _start) as int) + 1,
-                              cast(least(n_tok, (b + 1) * {L} - _start)
+                              cast(least(cast(n_tok as bigint), (b + 1) * {L} - _start)
                                    - greatest(0L, b * {L} - _start) as int)) as piece))"""
             )
         ).alias("bp"),

@@ -222,13 +222,19 @@ class Table:
         return sid
 
     def _snapshot_file_count(self, snapshot_id: int) -> int:
-        """Data-file count from manifest Parquet footers — O(#manifests)."""
+        """Data-file count, O(#manifests): cached manifests answer from
+        memory; only uncached ones cost a Parquet footer read. Keeps the
+        per-commit distributed?-decision free for maintenance jobs, whose
+        commit loop has every parent manifest cached already."""
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
-            for m in self.snapshot(snapshot_id).manifests
-        )
+        total = 0
+        for m in self.snapshot(snapshot_id).manifests:
+            if m in self._manifest_cache:
+                total += len(self._manifest_cache[m])
+            else:
+                total += pq.read_metadata(os.path.join(self.metadata_dir, m)).num_rows
+        return total
 
     def _filter_manifests_distributed(
         self, spark: SparkSession, parent_manifests: list[str], removed_paths: set[str]

@@ -61,7 +61,9 @@ spark = get_spark("iso", master="local[{cpus}]", shuffle_partitions={cpus},
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-local",
                                "spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-spark.range(0, {cpus}, numPartitions={cpus}).mapInArrow(job, "n long").collect()  # warm workers
+# warm workers (capped by file count — a small table must not index past it)
+nw = min({cpus}, len(files))
+spark.range(0, nw, numPartitions=nw).mapInArrow(job, "n long").collect()
 times = []
 for _ in range({reps}):
     t0 = time.monotonic()

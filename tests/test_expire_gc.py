@@ -172,10 +172,13 @@ def test_distributed_gc_matches_driver_gc(spark, tmp_path):
         t.overwrite(token_table_df(spark, 150, seed=503), num_files=2)
         # drop every snapshot but the current -> earlier filesets are orphans
         expire_snapshots(t, retain_last=1, gc=False)
-        # plus a stray uncommitted file
+        # plus stray uncommitted files: one in a commit-style subdir, one
+        # sitting DIRECTLY in data/ (both paths must collect both)
         stray = os.path.join(t.data_dir, "stray", "leftover.parquet")
         os.makedirs(os.path.dirname(stray))
         with open(stray, "w") as f:
+            f.write("x")
+        with open(os.path.join(t.data_dir, "root-leftover.parquet"), "w") as f:
             f.write("x")
         return t
 

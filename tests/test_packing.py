@@ -97,3 +97,20 @@ def test_pack_roster_consistent_with_windows(spark, tmp_path):
             expect[key] = (n + 1, t + r.n_tok)
             off += r.n_tok
     assert roster == expect
+
+
+def test_pack_token_windows_offsets_past_2_31(spark):
+    """Window ids/offsets must be 64-bit: a source whose cumulative token
+    offset passes 2^31 (routine at corpus scale) must still bin correctly —
+    int math here used to wrap to negative bins silently."""
+    L = 1 << 24  # 16M-token windows keep the explode small
+    # doc 0 advances the stream to exactly 2^31 tokens (empty payload is fine:
+    # packing reads offsets from n_tok, slices from tokens); doc 1 lands there
+    rows = [(0, [], 1 << 31, "a"), (1, list(range(1, 11)), 10, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, n_tok long, source string")
+    out = {
+        r.bin: list(r.tokens)
+        for r in pack_token_windows(df, ctx_len=L, drop_partial=False).collect()
+    }
+    assert min(out) >= 0  # no wrapped/negative window ids
+    assert out[(1 << 31) // L] == list(range(1, 11))
