@@ -17,7 +17,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from batch_pipeline_via_lakehouse_spark.bench_core import run_maintenance_bench  # noqa: E402
 from batch_pipeline_via_lakehouse_spark.plans.queries import QUERIES  # noqa: E402
 from batch_pipeline_via_lakehouse_spark.session import get_spark  # noqa: E402
 
@@ -80,12 +79,46 @@ def main() -> None:
 
     maint_rows = MAINT_ROWS.get(sf, max(2000, int(float(sf) * 1_200_000)))
     # 8MB target: compaction bins and cluster cells both get >= 2 task waves
-    # at local[32], so the maintenance phases can actually use the cores
-    maint = run_maintenance_bench(
-        spark, n_rows=maint_rows, target_bytes=8 * 1024 * 1024, hilbert=True
+    # at local[32], so the maintenance phases can actually use the cores.
+    # The host's contention is episodic (identical runs swing 2-3x minutes
+    # apart), so the recorded number is the MEDIAN of 3 timed passes over
+    # byte-identical copies of one untimed build — same damping as the
+    # scaling protocol; all passes are reported.
+    import shutil
+    import tempfile
+
+    from batch_pipeline_via_lakehouse_spark.bench_core import (
+        build_fragmented_table,
+        run_maintenance_on_existing,
     )
+    from batch_pipeline_via_lakehouse_spark.operators.clustering import cluster
+    from batch_pipeline_via_lakehouse_spark.table import Table
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="bench-tok-", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR", shm))
+    src = os.path.join(base, "src")
+    build_fragmented_table(spark, src, maint_rows, fragment_files=64)
+    runs = []
+    for i in range(3):
+        dst = os.path.join(base, f"run{i}")
+        shutil.copytree(src, dst)
+        r = run_maintenance_on_existing(
+            spark, dst, target_bytes=8 * 1024 * 1024, warmup=(i == 0)
+        )
+        print(f"# maintenance pass {i}: {r}", file=sys.stderr)
+        runs.append((r, dst))
+    runs.sort(key=lambda rd: rd[0]["tokens_per_s"])
+    maint, median_dst = runs[len(runs) // 2]
+
+    t0 = time.monotonic()
+    cluster(spark, Table.load(median_dst), mode="hilbert", target_bytes=8 * 1024 * 1024)
+    maint["hilbert_s"] = round(time.monotonic() - t0, 2)
+    maint["hilbert_tokens_per_s"] = round(maint["tokens"] / maint["hilbert_s"], 1)
+    maint["all_passes_tokens_per_s"] = [r["tokens_per_s"] for r, _ in runs]
+    shutil.rmtree(base, ignore_errors=True)
+
     timings["maintenance_compact_zorder"] = maint["maintenance_s"]
-    print(f"# maintenance: {maint}", file=sys.stderr)
+    print(f"# maintenance (median pass): {maint}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
