@@ -135,6 +135,55 @@ def pack_token_windows(df: DataFrame, ctx_len: int = _CTX, drop_partial: bool = 
     return packed
 
 
+@query(
+    "pack_windows",
+    # full materializer parity: DuckDB rebuilds each source's token stream
+    # (same md5 tokenizer as the flagship), chunks it, and hashes every
+    # complete window — equality means the distributed cumsum/slice/reassembly
+    # produced every packed example bit-for-bit
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(source AS VARCHAR) AS source,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> ('0x' || substr(md5(w), 1, 7))::BIGINT % 50257) AS tokens
+      FROM documents
+    ), stream AS (
+      SELECT source, flatten(list(tokens ORDER BY doc_id)) AS s
+      FROM tok GROUP BY source
+    ), bins AS (
+      SELECT source, s,
+             unnest(generate_series(0, CAST(len(s) // {_CTX} AS BIGINT) - 1)) AS b
+      FROM stream
+    )
+    SELECT source, CAST(b AS BIGINT) AS bin,
+           md5(array_to_string(s[b * {_CTX} + 1 : (b + 1) * {_CTX}], ',')) AS win_hash
+    FROM bins
+    """,
+)
+def pack_windows(spark, sf_dir) -> DataFrame:
+    """The packed examples themselves, content-hashed per window: tokenize
+    `documents` deterministically (flagship scheme), run the distributed
+    pack_token_windows materializer, and emit md5 of each complete
+    {_CTX}-token window. The DuckDB oracle re-derives every window from the
+    raw text single-threaded — exact parity of the distributed reassembly."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.col("source").cast("string").alias("source"),
+        F.expr(
+            "transform(split(trim(text), '\\\\s+'),"
+            " w -> cast(conv(substring(md5(w), 1, 7), 16, 10) % 50257 AS int))"
+        ).alias("tokens"),
+        _ntok_col().alias("n_tok"),
+    )
+    packed = pack_token_windows(tok, ctx_len=_CTX, drop_partial=True)
+    return packed.select(
+        "source",
+        "bin",
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias("win_hash"),
+    )
+
+
 _SAMPLE_RATES = {"web": 200, "books": 800, "code": 500, "wiki": 1000, "chat": 100}
 _RATE_SQL = "CASE " + " ".join(
     f"WHEN source = '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items()

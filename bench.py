@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_neardup",
     "ann_lsh_buckets",
     "pack_sequences",
+    "pack_windows",
     "stratified_sample",
 ]
 
