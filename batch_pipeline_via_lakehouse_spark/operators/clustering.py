@@ -105,7 +105,12 @@ def _cluster_spark(
     )
     base = meta["base_snapshot"]
 
-    files = table.live_files(base)
+    from ..sources.scan import live_files_slim
+
+    # full-stats parse of every manifest row is the driver's only O(#files)
+    # CPU here; above the plan threshold the listing strips stats to the two
+    # columns clustering needs (bounds dim + token metric) executor-side
+    files = live_files_slim(spark, table, base, stat_cols=(numeric_col, "n_tok"))
     if not files:
         return {"job_id": job_id, "partitions": 0, "tokens": 0, "rows": 0, "seconds": 0.0}
 
@@ -374,7 +379,9 @@ def _cluster_native(
          "mode": mode, "impl": "native"}
     )
     base = meta["base_snapshot"]
-    files = table.live_files(base)
+    from ..sources.scan import live_files_slim
+
+    files = live_files_slim(spark, table, base, stat_cols=(numeric_col, "n_tok"))
     if not files:
         return {"job_id": job_id, "mode": mode, "partitions": 0, "tokens": 0,
                 "rows": 0, "seconds": 0.0, "executed": []}

@@ -174,6 +174,64 @@ def column_max_distributed(
     return max(vals) if vals else None
 
 
+def live_files_slim(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+    stat_cols: tuple[str, ...] = (),
+    distributed: bool | None = None,
+) -> list[DataFile]:
+    """Live-file listing for full-table operators (clustering reads every
+    file, so the driver must hold the descriptor list either way — what it
+    need not do is JSON-parse every file's full stats blob). Above the plan
+    threshold, manifests are read as a Spark job that strips each stats blob
+    down to ``stat_cols`` executor-side; the driver parses only the slim
+    remainder. Identical descriptors (restricted to the requested stats) to
+    the driver fold — pytest-asserted."""
+    if distributed is None:
+        distributed = (
+            spark is not None
+            and snapshot_file_count(table, snapshot_id) > DISTRIBUTED_PLAN_THRESHOLD
+        )
+    if not distributed:
+        return table.live_files(snapshot_id)
+    cols = list(stat_cols)
+
+    def slim(batches):
+        import pandas as pd
+
+        for b in batches:
+            slims = []
+            for s in b["stats"]:
+                st = json.loads(s) if s else {}
+                slims.append(json.dumps({c: st[c] for c in cols if c in st}))
+            yield pd.DataFrame(
+                {
+                    "path": b["path"],
+                    "partition": b["partition"],
+                    "rows": b["rows"],
+                    "bytes": b["bytes"],
+                    "stats": slims,
+                }
+            )
+
+    rows = (
+        manifest_df(spark, table, snapshot_id)
+        .mapInPandas(slim, _MANIFEST_DDL)
+        .collect()
+    )
+    return [
+        DataFile(
+            path=r.path,
+            partition=json.loads(r.partition) if r.partition else {},
+            rows=r.rows,
+            bytes=r.bytes,
+            stats=json.loads(r.stats) if r.stats else {},
+        )
+        for r in rows
+    ]
+
+
 def scan_with_pruning(
     spark: SparkSession,
     table: Table,

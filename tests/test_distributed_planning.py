@@ -100,3 +100,19 @@ def test_compaction_planning_distributed_matches_driver(spark, tmp_path):
         S.DISTRIBUTED_PLAN_THRESHOLD = old
     assert shape(plan_driver) == shape(plan_dist)
     assert plan_driver.n_bins > 0
+
+
+def test_live_files_slim_distributed_matches_driver(spark, tmp_path):
+    """The Spark-job slim listing must return the same descriptors as the
+    driver fold, with stats restricted to exactly the requested columns."""
+    from batch_pipeline_via_lakehouse_spark.sources.scan import live_files_slim
+
+    t = _table(spark, tmp_path)
+    full = {f.path: f for f in t.live_files()}
+    slim = live_files_slim(spark, t, stat_cols=("n_tok",), distributed=True)
+    assert {f.path for f in slim} == set(full)
+    for f in slim:
+        ref = full[f.path]
+        assert (f.partition, f.rows, f.bytes) == (ref.partition, ref.rows, ref.bytes)
+        assert set(f.stats) <= {"n_tok"}
+        assert f.stats.get("n_tok") == ref.stats.get("n_tok")
