@@ -28,6 +28,85 @@ def _ntok_col() -> F.Column:
     return F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
 
 
+def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Add `_start` (the per-source concatenation offset, in (source, doc_id)
+    order) to a DataFrame with (source, doc_id, n_tok) — fully distributed.
+
+    A single `Window.partitionBy("source")` prefix sum runs in ONE task per
+    source: with ~5 corpus sources, the first packing stage would use 5 cores
+    of a 1000-executor cluster. Instead the prefix sum is computed as a
+    two-level scan:
+
+    1. one column-pruned pass takes per-source doc_id split points
+       (`percentile_approx`) — `n_buckets` contiguous doc_id ranges per
+       source, balanced even when doc_id spacing is skewed;
+    2. one map-side-combined aggregate totals tokens per (source, bucket);
+       the driver folds those B x #sources rows (metadata-scale) into
+       per-bucket BASE offsets and broadcasts them;
+    3. the window cumsum runs per (source, bucket) partition — parallelism =
+       #sources x n_buckets, each partition a contiguous doc_id slice, and
+       `_start = base + local cumsum`.
+
+    The collected split points are fixed literals, so bucket assignment is
+    deterministic across the totals pass and the main pass. Catalog tables
+    can skip passes 1-2 entirely — per-file n_tok sums already live in
+    manifest stats (`table/catalog.py` collects `sum` for ints); see
+    `pack_table_windows`."""
+    from pyspark.sql.types import NumericType
+
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(2, spark.sparkContext.defaultParallelism)
+    # split points need a NUMERIC, monotone-nondecreasing image of doc_id
+    # (percentile_approx can't rank strings): numerics pass through floor;
+    # anything else maps to its first 7 UTF8 bytes zero-padded — byte-prefix
+    # order == Spark's binary string order, and rows that collide on the
+    # prefix merely share a bucket (the in-bucket window still orders by the
+    # true doc_id)
+    if isinstance(df.schema["doc_id"].dataType, NumericType):
+        ord_expr = F.floor(F.col("doc_id")).cast("bigint")
+    else:
+        ord_expr = F.expr(
+            "cast(conv(hex(rpad(cast(cast(doc_id as string) as binary), 7, x'00')),"
+            " 16, 10) as bigint)"
+        )
+    df = df.withColumn("_ord", ord_expr)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cut_rows = (
+        df.groupBy("source")
+        .agg(F.percentile_approx("_ord", fracs, 10_000).alias("cuts"))
+        .collect()
+    )
+    cuts_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["source"], [int(c) for c in (r["cuts"] or [])]) for r in cut_rows],
+            "source string, cuts array<bigint>",
+        )
+    )
+    bucketed = (
+        df.join(cuts_df, "source")
+        # monotone step function of doc_id: rows in bucket k all precede
+        # rows in bucket k+1 in (source, doc_id) order
+        .withColumn("_bkt", F.expr("size(filter(cuts, c -> c < _ord))"))
+        .drop("cuts", "_ord")
+    )
+    totals = bucketed.groupBy("source", "_bkt").agg(F.sum("n_tok").alias("t")).collect()
+    acc: dict[str, int] = {}
+    base_rows = []
+    for r in sorted(totals, key=lambda r: (r["source"], r["_bkt"])):
+        base_rows.append((r["source"], r["_bkt"], acc.get(r["source"], 0)))
+        acc[r["source"]] = acc.get(r["source"], 0) + int(r["t"] or 0)
+    base_df = F.broadcast(
+        spark.createDataFrame(base_rows, "source string, _bkt int, _base long")
+    )
+    w = Window.partitionBy("source", "_bkt").orderBy("doc_id")
+    return (
+        bucketed.join(base_df, ["source", "_bkt"])
+        .withColumn("_start", F.col("_base") + F.sum("n_tok").over(w) - F.col("n_tok"))
+        .drop("_base")
+    )
+
+
 @query(
     "pack_sequences",
     oracle=f"""
@@ -51,17 +130,16 @@ def pack_sequences(spark, sf_dir) -> DataFrame:
     """Concatenate-then-chunk packing plan (the standard LLM pretraining
     layout): per source, documents are laid end to end in deterministic
     (doc_id) order and every document is assigned to the {_CTX}-token context
-    window its first token lands in. One window-cumsum + one groupBy — both
-    partitioned by source, so packing parallelizes across sources and the
-    cumsum never crosses a shuffle boundary twice. Output is the per-bin
-    roster (doc count, token count, order-insensitive md5-xor of doc ids),
-    which pins the packing decision exactly without materializing token
-    arrays."""
+    window its first token lands in. The concatenation offset comes from the
+    distributed bucketed prefix sum (`_with_start_offsets` — parallelism =
+    #sources x n_buckets, never one task per source), then one groupBy.
+    Output is the per-bin roster (doc count, token count, order-insensitive
+    md5-xor of doc ids), which pins the packing decision exactly without
+    materializing token arrays."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").cast("string").alias("source"), _ntok_col().alias("n_tok")
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    pos = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    pos = _with_start_offsets(d).withColumnRenamed("_start", "start_off")
     return (
         pos.groupBy("source", (F.col("start_off") / _CTX).cast("long").alias("bin"))
         .agg(
@@ -75,32 +153,36 @@ def pack_sequences(spark, sf_dir) -> DataFrame:
     )
 
 
-def pack_token_windows(df: DataFrame, ctx_len: int = _CTX, drop_partial: bool = True) -> DataFrame:
+def pack_token_windows(
+    df: DataFrame,
+    ctx_len: int = _CTX,
+    drop_partial: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Materialize the packed examples themselves: per source, lay the token
     arrays end to end in doc_id order and emit one row per ``ctx_len``-token
     context window — `(source, bin, tokens array<int>)`.
 
-    Fully distributed and JVM-side: a window cumsum gives each document its
-    start offset; each document explodes into per-window slices (built-in
+    Fully distributed and JVM-side: the bucketed prefix sum
+    (`_with_start_offsets`) gives each document its start offset with
+    parallelism = #sources x n_buckets (never one cumsum task per source);
+    each document explodes into per-window slices (built-in
     `sequence`/`transform`/`slice` — no UDF); a groupBy per (source, window)
     re-assembles the slices with `array_sort` + `flatten`. A document never
     moves except to the windows it overlaps, so shuffle volume == data
-    volume, once.
-
-    Scale note: the per-source cumsum is a prefix sum over one window
-    partition. At extreme scale the same offsets come for free from manifest
-    stats (per-file n_tok sums -> per-file base offsets broadcast to tasks),
-    turning the window into a per-file-local cumsum; the slice/group stages
-    are unchanged.
+    volume, once. For catalog tables, `pack_table_windows` skips the two
+    offset passes entirely via manifest stats.
 
     ``drop_partial``: drop the final short window per source (the standard
     trainer behavior); pass False to keep it."""
+    pos = _with_start_offsets(df.filter(F.col("n_tok") > 0), n_buckets)
+    return _slice_and_pack(pos, ctx_len, drop_partial)
+
+
+def _slice_and_pack(pos: DataFrame, ctx_len: int, drop_partial: bool) -> DataFrame:
+    """Shared slice/reassemble stages: `pos` carries (source, tokens, n_tok,
+    `_start`); emit one (source, bin, tokens) row per context window."""
     L = ctx_len
-    w = Window.partitionBy("source").orderBy("doc_id")
-    pos = (
-        df.filter(F.col("n_tok") > 0)
-        .withColumn("_start", F.sum("n_tok").over(w) - F.col("n_tok"))
-    )
     pieces = pos.select(
         "source",
         "_start",
@@ -133,6 +215,105 @@ def pack_token_windows(df: DataFrame, ctx_len: int = _CTX, drop_partial: bool = 
     if drop_partial:
         packed = packed.filter(F.size("tokens") == L)
     return packed
+
+
+def pack_table_windows(
+    spark,
+    table,
+    ctx_len: int = _CTX,
+    drop_partial: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Packing over a catalog token table with ZERO offset passes: every
+    file's base offset comes from manifest stats alone (per-file `n_tok`
+    sums are collected at write time — `table/catalog.py` sum stats), so the
+    first stage is a per-FILE-local window cumsum — parallelism = #files,
+    the extreme-scale shape. The slice/reassemble stages are shared with
+    `pack_token_windows`.
+
+    Soundness gate: this layout requires each source's files to cover
+    non-overlapping doc_id ranges (the post-compaction/clustering layout —
+    range-partitioned, sorted-within writes). The gate checks the manifest
+    min/max doc_id stats; any overlap or missing stat falls back to the
+    generic bucketed-prefix-sum path over the table scan — same output,
+    two extra metadata-scale passes."""
+    files = table.live_files()
+    by_src: dict[str, list] = {}
+    for f in files:
+        src = f.partition.get("source", f.stat("source", "min"))
+        by_src.setdefault(src, []).append(f)
+
+    base_rows: list[tuple[str, int]] = []
+    sortable = True
+    for src, fs in by_src.items():
+        if any(
+            f.stat("doc_id", "min") is None
+            or f.stat("doc_id", "max") is None
+            or f.stat("n_tok", "sum") is None
+            or (f.stat("source", "min") != f.stat("source", "max"))
+            for f in fs
+        ):
+            sortable = False
+            break
+        fs.sort(key=lambda f: f.stat("doc_id", "min"))
+        prev_max = None
+        off = 0
+        for f in fs:
+            if prev_max is not None and f.stat("doc_id", "min") <= prev_max:
+                sortable = False
+                break
+            prev_max = f.stat("doc_id", "max")
+            base_rows.append((f.path, off))
+            off += int(f.stat("n_tok", "sum"))
+        if not sortable:
+            break
+    if not sortable:
+        return pack_token_windows(
+            table.scan(spark).select(
+                "doc_id", F.col("source").cast("string").alias("source"),
+                "tokens", F.col("n_tok").cast("long").alias("n_tok"),
+            ),
+            ctx_len,
+            drop_partial,
+            n_buckets,
+        )
+
+    import os
+    import re
+
+    root = table.root
+
+    base_df = F.broadcast(
+        spark.createDataFrame(base_rows or [("", 0)], "_relpath string, _base long")
+    )
+    # input_file_name() is a percent-encoded URI; normalize JVM-side (strip
+    # scheme, url_decode the %xx escapes — the same decode operators/merge.py
+    # applies driver-side) and relativize against the table root so it joins
+    # the manifest-relative base-offset map
+    scan = table.scan(spark).withColumn("_file_uri", F.input_file_name())
+    rel = F.expr("url_decode(regexp_replace(_file_uri, '^file:/+', '/'))")
+    scan = scan.withColumn(
+        "_relpath", F.regexp_replace(rel, "^" + re.escape(os.path.join(root, "")), "")
+    ).drop("_file_uri")
+    pos = (
+        scan.join(base_df, "_relpath")
+        .withColumn(
+            "_start",
+            F.col("_base")
+            + F.sum(F.col("n_tok").cast("long")).over(
+                Window.partitionBy("_relpath").orderBy("doc_id")
+            )
+            - F.col("n_tok").cast("long"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            F.col("source").cast("string").alias("source"),
+            "tokens",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "_start",
+        )
+    )
+    return _slice_and_pack(pos, ctx_len, drop_partial)
 
 
 @query(

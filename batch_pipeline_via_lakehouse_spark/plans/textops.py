@@ -98,14 +98,23 @@ def _langid_oracle() -> str:
 @query("langid", oracle=_langid_oracle())
 def langid(spark, sf_dir) -> DataFrame:
     """Language ID by stopword-hit voting (n-gram heuristic tier); ties break
-    by fixed language priority."""
+    by fixed language priority.
+
+    Zero-shuffle shape: the per-language hit counts are higher-order
+    `size(filter(words, w -> w IN (...)))` expressions over the split array —
+    one projection per document, no explode and no groupBy. The former
+    explode+groupBy form re-sharded the entire token stream (shuffle volume
+    == total word count) to compute what is a per-row aggregation."""
     d = load(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("word"))
-    hit_aggs = [
-        F.sum(F.when(F.col("word").isin(STOPWORDS[lang]), 1).otherwise(0)).alias(f"{lang}_hits")
-        for lang in LANG_PRIORITY
-    ]
-    hits = words.groupBy("doc_id").agg(*hit_aggs)
+    hit_cols = []
+    for lang in LANG_PRIORITY:
+        lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_cols.append(
+            F.expr(f"size(filter(_w, w -> w IN ({lits})))").alias(f"{lang}_hits")
+        )
+    hits = d.select(
+        "doc_id", words_col(F.lower(F.col("text"))).alias("_w")
+    ).select("doc_id", *hit_cols)
     best = F.greatest(*[F.col(f"{lang}_hits") for lang in LANG_PRIORITY])
     pick = F.lit("und")
     for lang in reversed(LANG_PRIORITY):

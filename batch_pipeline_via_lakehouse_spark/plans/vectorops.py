@@ -61,6 +61,20 @@ def _lsh_weights_sql(n_planes: int = _PLANES) -> str:
     return f"(VALUES {rows}) AS w(plane, dim, wt)"
 
 
+# LSH projections are computed over QUANTIZED components: q = floor(x * 1e6)
+# as int64 (float32 -> double is exact; double*1e6 and floor are IEEE-defined
+# identically everywhere). The ±1-weighted projection then sums INTEGERS, so
+# its sign is engine-independent regardless of summation order — a raw float
+# sum within rounding distance of 0 could bucket differently between NumPy's
+# pairwise matmul and DuckDB's sequential aggregate.
+_Q = 1_000_000
+_QX_SQL = f"CAST(floor(CAST({{x}} AS DOUBLE) * {_Q}) AS BIGINT)"
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    return np.floor(m.astype(np.float64) * _Q).astype(np.int64)
+
+
 @query(
     "ann_cosine_scores",
     oracle=f"""
@@ -131,10 +145,12 @@ def neardup_pairs(e: DataFrame, threshold: float = 0.35, cap: int = _ND_CAP) -> 
     quadratic: bucket size is capped, so candidates <= #buckets * cap^2."""
     w = _hyperplanes(_ND_PLANES)
 
+    wi = w.astype(np.int64)
+
     @pandas_udf("long")
     def sig_udf(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        bits = (m @ w.T >= 0).astype(np.int64)
+        mq = _quantize(np.stack(emb.to_numpy()))  # exact int64 projection
+        bits = (mq @ wi.T >= 0).astype(np.int64)
         return pd.Series((bits << np.arange(_ND_PLANES, dtype=np.int64)).sum(axis=1))
 
     n_bands = _ND_PLANES // _ND_BAND
@@ -189,7 +205,7 @@ def neardup_pairs(e: DataFrame, threshold: float = 0.35, cap: int = _ND_CAP) -> 
              unnest(range(0, len(embedding))) AS dim
       FROM embeddings
     ), proj AS (
-      SELECT c.vec_id, c.label, w.plane, sum(c.x * w.wt) AS p
+      SELECT c.vec_id, c.label, w.plane, sum({_QX_SQL.format(x="c.x")} * w.wt) AS p
       FROM comps c JOIN {_lsh_weights_sql(_ND_PLANES)} ON c.dim = w.dim
       GROUP BY c.vec_id, c.label, w.plane
     ), sig AS (
@@ -248,27 +264,45 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     centroid cell (broadcast K centroids, argmax over cosine), then search
     only the query's cell. At 10^12 scale this turns a full scan into a
     1/K-cell scan; here the centroid set is deterministic (first K vectors)
-    so the DuckDB oracle reproduces the same approximate result."""
+    so the DuckDB oracle reproduces the same approximate result.
+
+    Cell assignment is ZERO-shuffle: the K centroids are collected (K rows —
+    metadata-scale) and shipped in a scalar pandas UDF that computes the
+    argmax per Arrow batch (the ann_lsh_buckets shape). The former
+    crossJoin+groupBy form shuffled the whole vector table K-wide on the
+    embedding array key just to argmax over 8 broadcast centroids. Float
+    semantics match the JVM `aggregate` fold bit-for-bit: dot products and
+    norms accumulate strictly in index order (one vectorized add per dim),
+    so the cell decision is identical to the SQL form's."""
     e = load(spark, sf_dir, "embeddings")
-    e.createOrReplaceTempView("emb_ivf")
-    cent_df = e.filter(f"vec_id < {_IVF_K}").select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cent = sorted(
+        (r.cid, r.cemb)
+        for r in e.filter(f"vec_id < {_IVF_K}")
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .collect()
     )
-    cent_df.createOrReplaceTempView("cent_ivf")
-    dot = (
-        "aggregate(zip_with(e.embedding, c.cemb, (x, y) -> cast(x AS double) * cast(y AS double)),"
-        " 0D, (s, v) -> s + v)"
-    )
-    na = "aggregate(e.embedding, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
-    nb = "aggregate(c.cemb, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
-    cos_ec = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
-    assigned = spark.sql(
-        f"""
-        SELECT e.vec_id, e.label, e.embedding,
-               max_by(c.cid, {cos_ec}) AS cell
-        FROM emb_ivf e CROSS JOIN cent_ivf c
-        GROUP BY e.vec_id, e.label, e.embedding
-        """
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.array([v for _, v in cent], dtype=np.float64)  # (K, DIM)
+    # centroid norms with the same sequential accumulation as the SQL fold
+    cnorm = np.zeros(len(cent))
+    for d in range(cmat.shape[1]):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    @pandas_udf("long")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, DIM)
+        dots = np.zeros((m.shape[0], cmat.shape[0]))
+        vnorm = np.zeros(m.shape[0])
+        # strict index-order accumulation == aggregate(zip_with(...)) fold
+        for d in range(m.shape[1]):
+            dots += m[:, d : d + 1] * cmat[None, :, d]
+            vnorm += m[:, d] * m[:, d]
+        cos = dots / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    assigned = e.select(
+        "vec_id", "label", "embedding", cell_udf(F.col("embedding")).alias("cell")
     )
     q = assigned.filter("vec_id = 0").select(
         F.col("cell").alias("qcell"), F.col("embedding").alias("q_emb")
@@ -291,7 +325,7 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
              unnest(range(0, len(embedding))) AS dim
       FROM embeddings
     ), proj AS (
-      SELECT c.vec_id, w.plane, sum(c.x * w.wt) AS p
+      SELECT c.vec_id, w.plane, sum({_QX_SQL.format(x="c.x")} * w.wt) AS p
       FROM comps c JOIN {_lsh_weights_sql()} ON c.dim = w.dim
       GROUP BY c.vec_id, w.plane
     )
@@ -306,10 +340,12 @@ def ann_lsh_buckets(spark, sf_dir) -> DataFrame:
     Hyperplanes are md5-derived so the SQL oracle reproduces them exactly."""
     w = _hyperplanes()
 
+    wi = w.astype(np.int64)
+
     @pandas_udf("long")
     def bucket_udf(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())  # (batch, DIM) float32
-        proj = m.astype(np.float64) @ w.T  # (batch, PLANES)
+        mq = _quantize(np.stack(emb.to_numpy()))  # (batch, DIM) exact int64
+        proj = mq @ wi.T  # (batch, PLANES) — integer, order-independent
         bits = (proj >= 0).astype(np.int64)
         return pd.Series((bits << np.arange(_PLANES, dtype=np.int64)).sum(axis=1))
 

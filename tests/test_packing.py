@@ -114,3 +114,138 @@ def test_pack_token_windows_offsets_past_2_31(spark):
     }
     assert min(out) >= 0  # no wrapped/negative window ids
     assert out[(1 << 31) // L] == list(range(1, 11))
+
+
+def test_offsets_match_single_window_path(spark):
+    """The bucketed distributed prefix sum must equal the obvious single
+    window-per-source cumsum, doc for doc."""
+    from pyspark.sql import Window
+
+    from batch_pipeline_via_lakehouse_spark.plans.packing import _with_start_offsets
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [], rng.choice([0, 3, 17, 256]), ("a", "b", "c", "d")[i % 4])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.doc_id: r._start
+        for r in _with_start_offsets(df, n_buckets=7).collect()
+    }
+    legacy = df.withColumn(
+        "_start",
+        F.sum("n_tok").over(Window.partitionBy("source").orderBy("doc_id"))
+        - F.col("n_tok"),
+    )
+    exp = {r.doc_id: r._start for r in legacy.collect()}
+    assert got == exp
+
+
+def test_offset_window_is_bucketed(spark):
+    """Scale shape: no single-partition-per-source window remains — every
+    window in the packing plan partitions by (source, _bkt), so the cumsum
+    parallelizes by bucket count, not source count."""
+    import re
+
+    from batch_pipeline_via_lakehouse_spark.plans.packing import pack_sequences
+
+    df = pack_sequences(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan[:3000]
+    for s in specs:
+        assert "_bkt" in s, s
+
+
+def _token_docs(n):
+    import random
+
+    rng = random.Random(23)
+    docs = []
+    v = 0
+    for i in range(n):
+        ntok = rng.choice([0, 3, 9, 21, 40])
+        docs.append(
+            (f"{i:06d}", list(range(v, v + ntok)), ntok, ("web", "books")[i % 2])
+        )
+        v += ntok
+    return docs
+
+
+def test_pack_table_windows_manifest_offsets(spark, tmp_path):
+    """Catalog path: base offsets come from manifest n_tok sum stats (zero
+    offset passes); the per-FILE window cumsum must reproduce the generic
+    path bit-for-bit on a sorted, range-partitioned layout."""
+    from batch_pipeline_via_lakehouse_spark.plans.packing import (
+        pack_table_windows,
+        pack_token_windows,
+    )
+    from batch_pipeline_via_lakehouse_spark.datagen import TOKEN_SCHEMA
+    from batch_pipeline_via_lakehouse_spark.table import Table
+
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA, partition_by=["source"])
+    df = spark.createDataFrame(
+        _token_docs(200), "doc_id string, tokens array<int>, n_tok int, source string"
+    ).repartitionByRange(4, "source", "doc_id")
+    t.commit(t.write_datafiles(df, sort_within=["doc_id"]), set(), "append")
+    assert len(t.live_files()) > 2  # the parity below spans multiple files
+
+    fast = pack_table_windows(spark, t, ctx_len=16)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "_relpath" in plan and "_bkt" not in plan  # manifest path, no quantile pass
+    generic = pack_token_windows(
+        t.scan(spark).select(
+            "doc_id",
+            F.col("source").cast("string").alias("source"),
+            "tokens",
+            F.col("n_tok").cast("long").alias("n_tok"),
+        ),
+        ctx_len=16,
+    )
+    got = {(r.source, r.bin): list(r.tokens) for r in fast.collect()}
+    exp = {(r.source, r.bin): list(r.tokens) for r in generic.collect()}
+    assert got == exp and got
+
+
+def test_pack_table_windows_fallback_on_overlap(spark, tmp_path):
+    """Two appends covering the same doc_id range overlap per source — the
+    soundness gate must reject the per-file layout and fall back to the
+    generic bucketed path, with identical output."""
+    from batch_pipeline_via_lakehouse_spark.plans.packing import (
+        pack_table_windows,
+        pack_token_windows,
+    )
+    from batch_pipeline_via_lakehouse_spark.datagen import TOKEN_SCHEMA
+    from batch_pipeline_via_lakehouse_spark.table import Table
+
+    t = Table.create(str(tmp_path / "tok"), TOKEN_SCHEMA, partition_by=["source"])
+    docs = _token_docs(120)
+    # each source's docs split across both appends with interleaved doc_ids
+    # -> per-source min/max ranges overlap between the two commits' files
+    for part in (
+        [d for i, d in enumerate(docs) if i % 4 < 2],
+        [d for i, d in enumerate(docs) if i % 4 >= 2],
+    ):
+        t.append(
+            spark.createDataFrame(
+                part, "doc_id string, tokens array<int>, n_tok int, source string"
+            )
+        )
+    fast = pack_table_windows(spark, t, ctx_len=16)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan  # fell back to the bucketed generic path
+    generic = pack_token_windows(
+        t.scan(spark).select(
+            "doc_id",
+            F.col("source").cast("string").alias("source"),
+            "tokens",
+            F.col("n_tok").cast("long").alias("n_tok"),
+        ),
+        ctx_len=16,
+    )
+    got = {(r.source, r.bin): list(r.tokens) for r in fast.collect()}
+    exp = {(r.source, r.bin): list(r.tokens) for r in generic.collect()}
+    assert got == exp and got

@@ -35,6 +35,17 @@ def test_lsh_plan_has_single_grams_aggregation(spark):
     assert "Join" not in plan
 
 
+def test_langid_is_shuffle_free(spark):
+    """langid is a per-document projection: higher-order filter/size over the
+    split array, no explode and no Exchange anywhere in the plan (the former
+    explode+groupBy form shuffled the entire token stream)."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import langid
+
+    plan = langid(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:4000]
+    assert "Generate" not in plan  # no explode
+
+
 def test_lsh_pairs_match_reference_semantics(spark):
     """In-bucket pair expansion == the naive band self-join, bit for bit."""
     from batch_pipeline_via_lakehouse_spark.plans.textops import minhash_signature

@@ -60,3 +60,19 @@ def test_neardup_plan_has_no_cartesian_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a projection (pandas-UDF argmax over the
+    broadcast centroid matrix) — no Exchange keyed on the embedding array.
+    The former crossJoin+groupBy form shuffled the vector table K-wide on
+    the 64-float embedding as a grouping key."""
+    import re
+
+    from batch_pipeline_via_lakehouse_spark.plans.vectorops import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for part in re.findall(r"hashpartitioning\([^)]*\)", plan):
+        assert "embedding" not in part, plan[:4000]
+    assert "HashAggregate" not in plan or "embedding#" not in plan.split("HashAggregate")[1][:200]
