@@ -112,10 +112,11 @@ def gc_orphans(
             and snapshot_file_count(table) > DISTRIBUTED_PLAN_THRESHOLD
         )
     cutoff = now_ms() - grace_ms
+    touched_dirs: set[str] = set()
     if distributed:
         if spark is None:
             raise ValueError("distributed GC requires a SparkSession")
-        deleted_files = _gc_data_distributed(spark, table, cutoff)
+        deleted_files, touched_dirs = _gc_data_distributed(spark, table, cutoff)
         live_manifests = {m for s in table.snapshots() for m in s.manifests}
     else:
         live_data: set[str] = set()
@@ -138,6 +139,7 @@ def gc_orphans(
                 if os.path.getmtime(p) * 1000 > cutoff:
                     continue
                 os.remove(p)
+                touched_dirs.add(sub)
                 deleted_files += 1
 
     deleted_manifests = 0
@@ -149,10 +151,23 @@ def gc_orphans(
         os.remove(p)
         deleted_manifests += 1
 
-    # sweep now-empty commit dirs
-    for d in sorted(glob.glob(os.path.join(table.data_dir, "**", "*"), recursive=True), reverse=True):
-        if os.path.isdir(d) and not os.listdir(d):
-            os.rmdir(d)
+    # sweep commit dirs emptied by THIS GC's deletions only: bottom-up from
+    # each dir a delete touched, then its ancestors up to data_dir. Scoped
+    # to touched dirs so the sweep never lists the untouched bulk of the
+    # table (the former recursive full-tree glob was the last O(#files)
+    # driver listing on the distributed path).
+    for d in sorted(touched_dirs, key=len, reverse=True):
+        p = os.path.normpath(d)
+        data_root = os.path.normpath(table.data_dir)
+        while p.startswith(data_root) and p != data_root:
+            try:
+                if os.path.isdir(p) and not os.listdir(p):
+                    os.rmdir(p)
+                else:
+                    break
+            except OSError:
+                break  # concurrent writer re-populated it — leave it
+            p = os.path.dirname(p)
 
     # stale clustering staging runs (crashed jobs clean up on resume/success;
     # this catches jobs that never came back) — same grace window. Staleness
@@ -194,12 +209,20 @@ def _gc_guard_path(rel: str) -> str:
     return rel
 
 
-def _gc_data_distributed(spark, table: Table, cutoff_ms: int) -> int:
+def _gc_data_distributed(spark, table: Table, cutoff_ms: int) -> tuple[int, set[str]]:
     """Spark-job orphan deletion: union-of-snapshots reachability as a
     DataFrame (manifests are plain Parquet), a listing task per commit dir
     (`data/<uuid>` — the natural storage-prefix shards), a left-anti join to
     find orphans, and executor-side mtime-guarded deletes. The driver never
-    materializes the file list."""
+    materializes the file list; it gets back only (count, dirs-touched) —
+    bounded by deleted-dir count, for the scoped empty-dir sweep.
+
+    Storage requirement: executor tasks address the table through plain
+    filesystem paths (os.walk/os.remove), so the table root must be a
+    SHARED filesystem visible to every executor — local mode, NFS, or a
+    FUSE-mounted object store. On a multi-host cluster without a shared
+    mount, swap these task bodies for the object store's list/delete API
+    (the sharding and join shape are storage-agnostic)."""
     import pandas as pd
 
     from ..sources.scan import manifest_df
@@ -247,16 +270,19 @@ def _gc_data_distributed(spark, table: Table, cutoff_ms: int) -> int:
     ).select("path")
 
     def delete_task(pdfs):
-        n = 0
+        from collections import Counter
+
+        cnt: Counter = Counter()
         for pdf in pdfs:
             for rel in pdf["path"]:
                 p = os.path.join(root, rel)
                 try:
                     if os.path.getmtime(p) * 1000 <= cutoff_ms:
                         os.remove(p)
-                        n += 1
+                        cnt[os.path.dirname(p)] += 1
                 except OSError:
                     continue  # already gone (concurrent GC) — not an error
-        yield pd.DataFrame({"n": [n]})
+        yield pd.DataFrame({"dir": list(cnt.keys()), "n": list(cnt.values())})
 
-    return int(sum(r.n for r in orphans.mapInPandas(delete_task, "n long").collect()))
+    rows = orphans.mapInPandas(delete_task, "dir string, n long").collect()
+    return int(sum(r.n for r in rows)), {r.dir for r in rows}

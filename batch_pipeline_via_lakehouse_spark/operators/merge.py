@@ -185,7 +185,22 @@ def merge_scd1(
     # non-deterministic source re-evaluation could otherwise slip keys past
     # the stats pre-prune)
     source = _src_cached = source.select(*cols).persist()
+    try:
+        return _merge_scd1_body(
+            spark, table, source, key_cols, tracked, broadcast_source,
+            salt_buckets, job_id, cols, t0,
+        )
+    finally:
+        # always release the cache — an exception between planning and commit
+        # (completeness gate, write failure) must not leak it for the
+        # session's lifetime
+        _src_cached.unpersist()
 
+
+def _merge_scd1_body(
+    spark, table, source, key_cols, tracked, broadcast_source, salt_buckets,
+    job_id, cols, t0,
+) -> dict:
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
     # presence markers: with null-safe key matching a NULL key can be a real
@@ -271,7 +286,6 @@ def merge_scd1(
         tokens=0,
         seconds=time.monotonic() - t0,
     )
-    _src_cached.unpersist()
     return {
         "snapshot": sid,
         "affected_files": len(affected),
@@ -291,12 +305,21 @@ def merge_scd2(
     tracked_cols: list[str],
     effective_ts: datetime.datetime | None = None,
     dedup_order: list[str] | None = None,
+    salt_buckets: int | None = None,
     job_id: str | None = None,
 ) -> dict:
     """SCD2 merge: close matched-and-changed current rows, insert new
     versions. Table schema must include is_current:boolean, start_ts, end_ts.
     Both reference passes (`_silver_handler.py:175-188`) execute in ONE
-    copy-on-write rewrite here — same output, half the shuffles."""
+    copy-on-write rewrite here — same output, half the shuffles.
+
+    ``salt_buckets``: the same structural skew handling as merge_scd1 — an
+    SCD2 target accumulates one row PER VERSION per key, so a hot key's
+    version pile melts one reducer in the close-pass join. With salting the
+    close pass salts the (version-heavy) target against the replicated
+    source, and the insert pass salts the source against the replicated
+    current-rows-only target; null-key rows ride the null-safe unsalted
+    joins (at most one source row per null pattern after dedup)."""
     t0 = time.monotonic()
     job_id = job_id or f"merge2-{uuid.uuid4().hex[:12]}"
     ts = F.lit(effective_ts) if effective_ts else F.current_timestamp()
@@ -306,7 +329,19 @@ def merge_scd2(
         source = dedup_source(source, key_cols, dedup_order)
     # persist: same single-evaluation guarantee as merge_scd1
     source = _src_cached = source.select(*[c for c in data_cols]).persist()
+    try:
+        return _merge_scd2_body(
+            spark, table, source, key_cols, tracked_cols, ts, salt_buckets,
+            job_id, cols, data_cols, t0,
+        )
+    finally:
+        _src_cached.unpersist()
 
+
+def _merge_scd2_body(
+    spark, table, source, key_cols, tracked_cols, ts, salt_buckets, job_id,
+    cols, data_cols, t0,
+) -> dict:
     base = table.current_snapshot_id()
     affected, untouched = _affected_files(spark, table, source, key_cols, base)
     # never-null presence markers (see merge_scd1): with eqNullSafe matching,
@@ -320,30 +355,81 @@ def merge_scd2(
 
     # pass 1 equivalent: close matched-and-changed CURRENT rows, carry the rest
     close_row = ~s_missing & F.col("t.is_current") & changed
-    existing = (
-        target_aff.alias("t")
-        .join(source.alias("s"), on=key_eq, how="left_outer")
-        .select(
-            *[F.col(f"t.{c}").alias(c) for c in data_cols],
+    # pass 2 equivalent: insert a new current version when the key has no
+    # current row (new key, or every version already closed) or it changed
+    cur_missing = F.col("t._t").isNull()
+
+    def _existing_sel(joined: DataFrame, keys_from_onlist: bool) -> DataFrame:
+        return joined.select(
+            *[
+                F.col(c) if keys_from_onlist and c in key_cols
+                else F.col(f"t.{c}").alias(c)
+                for c in data_cols
+            ],
             F.when(close_row, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),
             F.col("t.start_ts").alias("start_ts"),
             F.when(close_row, ts).otherwise(F.col("t.end_ts")).alias("end_ts"),
         )
-    )
-    # pass 2 equivalent: insert a new current version when the key has no
-    # current row (new key, or every version already closed) or it changed
-    cur_missing = F.col("t._t").isNull()
-    inserts = (
-        source.alias("s")
-        .join(target_aff.filter(F.col("is_current")).alias("t"), on=key_eq, how="left_outer")
-        .filter(cur_missing | changed)
-        .select(
-            *[F.col(f"s.{c}").alias(c) for c in data_cols],
+
+    def _inserts_sel(joined: DataFrame, keys_from_onlist: bool) -> DataFrame:
+        return joined.filter(cur_missing | changed).select(
+            *[
+                F.col(c) if keys_from_onlist and c in key_cols
+                else F.col(f"s.{c}").alias(c)
+                for c in data_cols
+            ],
             F.lit(True).alias("is_current"),
             ts.alias("start_ts"),
             F.lit(None).cast("timestamp").alias("end_ts"),
         )
-    )
+
+    if salt_buckets:
+        from .salting import salted_equi_join
+
+        null_key = F.lit(False)
+        for k in key_cols:
+            null_key = null_key | F.col(k).isNull()
+        t_nn, t_null = target_aff.filter(~null_key), target_aff.filter(null_key)
+        s_nn, s_null = source.filter(~null_key), source.filter(null_key)
+        existing = _existing_sel(
+            salted_equi_join(
+                t_nn.alias("t"), s_nn.alias("s"), key_cols,
+                how="left", buckets=salt_buckets,
+            ),
+            True,
+        ).unionByName(
+            _existing_sel(
+                t_null.alias("t").join(s_null.alias("s"), on=key_eq, how="left_outer"),
+                False,
+            )
+        )
+        inserts = _inserts_sel(
+            salted_equi_join(
+                s_nn.alias("s"), t_nn.filter(F.col("is_current")).alias("t"),
+                key_cols, how="left", buckets=salt_buckets,
+            ),
+            True,
+        ).unionByName(
+            _inserts_sel(
+                s_null.alias("s").join(
+                    t_null.filter(F.col("is_current")).alias("t"),
+                    on=key_eq, how="left_outer",
+                ),
+                False,
+            )
+        )
+    else:
+        existing = _existing_sel(
+            target_aff.alias("t").join(source.alias("s"), on=key_eq, how="left_outer"),
+            False,
+        )
+        inserts = _inserts_sel(
+            source.alias("s").join(
+                target_aff.filter(F.col("is_current")).alias("t"),
+                on=key_eq, how="left_outer",
+            ),
+            False,
+        )
     result = existing.unionByName(inserts).select(*cols)
 
     out_files = table.write_datafiles(result)
@@ -364,5 +450,4 @@ def merge_scd2(
         tokens=0,
         seconds=time.monotonic() - t0,
     )
-    _src_cached.unpersist()
     return {"snapshot": sid, "affected_files": len(affected), "carried_files": len(untouched)}

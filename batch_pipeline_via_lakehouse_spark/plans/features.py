@@ -392,21 +392,30 @@ def maintenance_compact_zorder(spark, sf_dir) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tok"),
         F.col("source").cast("string").alias("source"),
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="maint-"), "tok")
-    t = Table.create(root, TOKEN_SCHEMA, partition_by=["source"])
-    t.append(tok, num_files=4)
-    compact(spark, t, target_bytes=16 * 1024 * 1024)
-    cluster(spark, t, mode="zorder", target_bytes=16 * 1024 * 1024)
-    return (
-        t.scan(spark)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
-            F.expr(
-                "bit_xor(cast(conv(substring(md5(concat_ws('|', doc_id,"
-                " cast(n_tok as string), array_join(cast(tokens as array<string>),"
-                " ','))), 1, 15), 16, 10) as bigint))"
-            ).alias("content_hash"),
+    tmp = tempfile.mkdtemp(prefix="maint-")
+    try:
+        t = Table.create(os.path.join(tmp, "tok"), TOKEN_SCHEMA, partition_by=["source"])
+        t.append(tok, num_files=4)
+        compact(spark, t, target_bytes=16 * 1024 * 1024)
+        cluster(spark, t, mode="zorder", target_bytes=16 * 1024 * 1024)
+        rollup = (
+            t.scan(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(concat_ws('|', doc_id,"
+                    " cast(n_tok as string), array_join(cast(tokens as array<string>),"
+                    " ','))), 1, 15), 16, 10) as bigint))"
+                ).alias("content_hash"),
+            )
         )
-    )
+        # materialize the #sources-row rollup so the temp table can be
+        # removed NOW — returning a lazy scan over it would leak ~tens of MB
+        # into /tmp per invocation across bench/correctness sweeps
+        return spark.createDataFrame(rollup.collect(), rollup.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

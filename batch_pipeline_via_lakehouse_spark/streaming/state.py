@@ -7,10 +7,20 @@ tied to the watermark, append-mode emission of CLOSED sessions only (the
 same finalize-once discipline as streaming/windows.py, so the output
 composes with the exactly-once table sink).
 
-State per key is one open session (3 longs) — bounded by key cardinality,
-independent of stream length. Late events beyond the watermark are dropped
-by the engine before they reach the operator; in-bound out-of-order events
-within a batch are sorted before folding.
+State per key is the set of OPEN session fragments — disjoint
+(start, last, n) runs separated by more than the gap — kept until the
+watermark passes ``last + gap``. Buffering fragments (not just one open
+session) makes the operator correct for cross-batch out-of-order arrivals
+anywhere inside the lateness bound: an in-bound event earlier than the
+current session's start extends that session backwards, forms its own
+earlier session, or bridges two fragments into one — whichever event-time
+order dictates — because a fragment is only finalized once NO in-bound
+event could still touch it (watermark > last + gap). Late events beyond the
+watermark are dropped by the engine before they reach the operator.
+
+Fragment count is bounded by (observed event-time span) / gap per key —
+out-of-order data can hold a few fragments open; totally ordered data holds
+exactly one.
 """
 
 from __future__ import annotations
@@ -24,11 +34,29 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _OUT_DDL = (
     "k string, session_start timestamp, session_end timestamp, n_events long"
 )
-_STATE_DDL = "start_ms long, last_ms long, n long"
+_STATE_DDL = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _ms(ts) -> int:
     return int(ts.value // 1_000_000)  # pandas Timestamp ns -> ms
+
+
+def _fold(frags: list[list[int]], t_ms: int, gap_ms: int) -> list[list[int]]:
+    """Insert one event into the fragment set: start a new fragment, extend
+    an existing one, or bridge adjacent fragments — by event-time distance,
+    not arrival order. Keeps the invariant: sorted by start, consecutive
+    fragments separated by MORE than the gap."""
+    frags.append([t_ms, t_ms, 1])
+    frags.sort(key=lambda f: f[0])
+    out = [frags[0]]
+    for f in frags[1:]:
+        cur = out[-1]
+        if f[0] - cur[1] <= gap_ms:  # within gap -> same session
+            cur[1] = max(cur[1], f[1])
+            cur[2] += f[2]
+        else:
+            out.append(f)
+    return out
 
 
 def make_sessionizer(gap_seconds: int):
@@ -38,37 +66,41 @@ def make_sessionizer(gap_seconds: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def closed(start_ms: int, last_ms: int, n: int) -> pd.DataFrame:
-            return pd.DataFrame(
+        frags: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            frags = [list(f) for f in zip(starts, lasts, ns)]
+
+        if not state.hasTimedOut:
+            for p in pdfs:
+                for t in p["ts"]:
+                    frags = _fold(frags, _ms(t), gap_ms)
+
+        # a fragment is FINAL iff no admissible event (ts >= watermark) can
+        # still fold into or bridge onto it: watermark > last + gap
+        wm = state.getCurrentWatermarkMs()
+        closed = [f for f in frags if f[1] + gap_ms < wm]
+        kept = [f for f in frags if f[1] + gap_ms >= wm]
+
+        if kept:
+            state.update(
+                ([f[0] for f in kept], [f[1] for f in kept], [f[2] for f in kept])
+            )
+            # earliest fragment to become final fires the next timeout; never
+            # earlier than the current watermark (engine requirement)
+            state.setTimeoutTimestamp(max(min(f[1] for f in kept) + gap_ms, wm))
+        elif state.exists:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
                 {
-                    "k": [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_events": [n],
+                    "k": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(f[0], unit="ms") for f in closed],
+                    "session_end": [pd.Timestamp(f[1], unit="ms") for f in closed],
+                    "n_events": [f[2] for f in closed],
                 }
             )
-
-        if state.hasTimedOut:
-            # watermark passed last_event + gap: the open session is final
-            start_ms, last_ms, n = state.get
-            state.remove()
-            yield closed(start_ms, last_ms, n)
-            return
-
-        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
-        cur = list(state.get) if state.exists else None
-        for t in ts:
-            t_ms = _ms(t)
-            if cur is None:
-                cur = [t_ms, t_ms, 0]
-            elif t_ms - cur[1] > gap_ms:
-                yield closed(*cur)
-                cur = [t_ms, t_ms, 0]
-            cur[1] = max(cur[1], t_ms)
-            cur[2] += 1
-        if cur is not None:
-            state.update(tuple(cur))
-            state.setTimeoutTimestamp(cur[1] + gap_ms)
 
     return fn
 

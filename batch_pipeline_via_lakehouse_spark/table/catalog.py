@@ -243,7 +243,13 @@ class Table:
         A manifest with no removed paths is reused by name (no IO beyond the
         read); a touched one is rewritten executor-side minus the removed
         entries. The removed set ships in the task closure — it is bounded by
-        the files one maintenance bundle rewrites, not by table size."""
+        the files one maintenance bundle rewrites, not by table size.
+
+        Storage requirement: tasks read/write the metadata dir via plain
+        filesystem paths, so it must be a SHARED filesystem visible to every
+        executor (local mode, NFS, FUSE-mounted object store). On a cluster
+        without a shared mount, swap the pyarrow read/write for the object
+        store API — the per-manifest sharding is storage-agnostic."""
         if not removed_paths:
             return list(parent_manifests)
         meta_dir = self.metadata_dir
@@ -264,7 +270,10 @@ class Table:
                     name = names[i]
                     t = pq.read_table(_os.path.join(meta_dir, name))
                     hit = pc.is_in(t.column("path"), value_set=rset)
-                    if t.num_rows and not pc.any(hit).as_py():
+                    # pc.any over zero rows yields null -> `not` keeps the
+                    # manifest by name, exactly like the driver fold (which
+                    # reuses any untouched manifest, empty or not)
+                    if not pc.any(hit).as_py():
                         yield pa.RecordBatch.from_pydict({"name": [name]})
                         continue
                     kept = t.filter(pc.invert(hit))

@@ -116,3 +116,30 @@ def test_live_files_slim_distributed_matches_driver(spark, tmp_path):
         assert (f.partition, f.rows, f.bytes) == (ref.partition, ref.rows, ref.bytes)
         assert set(f.stats) <= {"n_tok"}
         assert f.stats.get("n_tok") == ref.stats.get("n_tok")
+
+
+def test_distributed_commit_keeps_zero_row_manifest(spark, tmp_path):
+    """A zero-row manifest untouched by the removal set must be carried by
+    NAME on the distributed commit path, exactly like the driver fold —
+    dropping it would make the two paths produce different manifest lists."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmp_path)
+    parent = t.current_snapshot_id()
+    manifests = t.snapshot(parent).manifests
+    src = pq.read_table(os.path.join(t.metadata_dir, manifests[0]))
+    zero_name = "manifest-zerorow-test.parquet"
+    pq.write_table(src.slice(0, 0), os.path.join(t.metadata_dir, zero_name))
+
+    removed = {t.live_files()[0].path}
+    out = t._filter_manifests_distributed(spark, [*manifests, zero_name], removed)
+    assert zero_name in out  # carried by name, not silently dropped
+    # and the removal itself still happened in some rewritten manifest
+    kept_paths = set()
+    for m in out:
+        kept_paths |= {
+            r["path"] for r in pq.read_table(os.path.join(t.metadata_dir, m)).to_pylist()
+        }
+    assert removed.isdisjoint(kept_paths)

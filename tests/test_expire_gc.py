@@ -200,3 +200,35 @@ def test_distributed_gc_matches_driver_gc(spark, tmp_path):
 
     assert files_under(t1.root) == files_under(t2.root)
     assert content_checksum(t1.scan(spark)) == content_checksum(t2.scan(spark))
+
+
+def test_gc_sweep_scoped_to_touched_dirs(spark, tmp_path):
+    """The empty-dir sweep runs only under dirs GC itself emptied: a
+    pre-existing empty dir inside an UNTOUCHED commit dir survives (it is
+    never even listed), while commit dirs whose files GC deleted are swept
+    away — on both the driver-fold and distributed paths."""
+    for mode in (False, True):
+        t = Table.create(
+            str(tmp_path / f"sw-{mode}"), TOKEN_SCHEMA, partition_by=["source"]
+        )
+        t.append(token_table_df(spark, 100, seed=31), num_files=2)
+        live_dirs = {
+            os.path.dirname(os.path.join(t.root, f.path)) for f in t.live_files()
+        }
+        t.overwrite(token_table_df(spark, 100, seed=32), num_files=2)
+        expire_snapshots(t, retain_last=1, gc=False)
+        orphan_dirs = live_dirs - {
+            os.path.dirname(os.path.join(t.root, f.path)) for f in t.live_files()
+        }
+        assert orphan_dirs
+        # plant an empty dir inside a LIVE (untouched) commit dir
+        live_dir = next(
+            os.path.dirname(os.path.join(t.root, f.path)) for f in t.live_files()
+        )
+        planted = os.path.join(live_dir, "planted-empty")
+        os.makedirs(planted)
+        r = gc_orphans(t, grace_ms=0, spark=spark, distributed=mode)
+        assert r["deleted_files"] > 0
+        assert os.path.isdir(planted)  # untouched dir never listed/swept
+        for d in orphan_dirs:
+            assert not os.path.exists(d)  # emptied-by-GC dirs are gone

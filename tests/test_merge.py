@@ -250,3 +250,43 @@ def test_merge_planning_never_opens_stats_pruned_files(spark, tmp_path, monkeypa
     assert r["affected_files"] == r2["affected_files"]
     assert r["carried_files"] == r2["carried_files"]
     assert content_checksum(t.scan(spark), COLS) == content_checksum(t2.scan(spark), COLS)
+
+
+def test_scd2_salted_equals_unsalted(spark, tmp_path):
+    """Hot-key SCD2 target (hundreds of closed versions of one key): the
+    salted close/insert passes must produce byte-identical table content to
+    the default full joins — including a null-key row, which rides the
+    null-safe unsalted path."""
+    ts0 = datetime.datetime(2026, 1, 1)
+    ts1 = datetime.datetime(2026, 2, 1)
+    hist = [("hot", 100 + i, "web", False, ts0, ts0) for i in range(300)]
+    cur = [
+        ("hot", 999, "web", True, ts0, None),
+        ("b", 20, "wiki", True, ts0, None),
+        (None, 7, "chat", True, ts0, None),
+    ]
+    src = _scd2_src(
+        spark, [("hot", 1000, "web"), ("c", 30, "code"), (None, 8, "chat")]
+    )
+    outs = {}
+    for name, salt in (("salted", 8), ("plain", None)):
+        t = Table.create(str(tmp_path / f"t2-{name}"), SCD2_SCHEMA)
+        t.append(spark.createDataFrame(hist + cur, SCD2_SCHEMA))
+        merge_scd2(
+            spark, t, src, key_cols=["doc_id"], tracked_cols=["n_tok", "source"],
+            effective_ts=ts1, salt_buckets=salt,
+        )
+        outs[name] = content_checksum(
+            t.scan(spark), ["doc_id", "n_tok", "source", "is_current", "start_ts", "end_ts"]
+        )
+        # semantic spot checks on each path independently
+        rows = {
+            (r.doc_id, r.n_tok, r.is_current) for r in t.scan(spark).collect()
+        }
+        assert ("hot", 999, False) in rows     # hot current closed
+        assert ("hot", 1000, True) in rows     # hot new version
+        assert ("c", 30, True) in rows         # brand-new key
+        assert (None, 8, True) in rows         # null key updated, not dup
+        assert (None, 7, False) in rows
+        assert t.scan(spark).count() == len(hist) + len(cur) + 3
+    assert outs["salted"] == outs["plain"]
