@@ -345,6 +345,111 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 20
+
+
+@query(
+    "dedup_clusters",
+    # transitive closure in DuckDB: reach(v, lbl) = lbl's component contains
+    # v; min(lbl) per v is exactly the fixed point the Spark label
+    # propagation converges to
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_sql_cols()}
+      FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+      UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+      UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive dedup-cluster assignment — the keeper-resolution step after
+    candidate generation: near-dup is not transitive, but dedup decisions
+    must be, so every document maps to the MIN doc_id of its connected
+    component in the MinHash-LSH pair graph (doc A ~ B ~ C all dedup to A
+    even if A and C share no band).
+
+    Spark-first iterative shape: min-label propagation over the symmetric
+    edge list — per round one edge⋈label join + one min-groupBy, converging
+    in (component diameter) rounds with a driver-side fixed-point test.
+    Near-dup components are short chains/cliques (diameter ~2-4); the
+    20-round cap is a safety bound, and at adversarial-chain scale the same
+    loop upgrades to pointer-doubling (large-star/small-star) without
+    changing the per-round operators. Each round's shuffle is bounded by the
+    candidate-pair count, not the corpus."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(
+        d.select(F.col("doc_id").alias("v")),
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")),
+    ).select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster"))
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label connected components over an undirected pair list:
+    ``vertices (v)``, ``edges (a, b)`` -> ``(v, lbl)`` where lbl is the MIN
+    vertex id of v's component. Iterative label propagation with a
+    driver-side fixed-point test; converges in (component diameter) rounds,
+    capped at ``max_iters``. The result is localCheckpoint-ed executor-side
+    (never a driver collect — the mapping is corpus-sized) so the caches can
+    be released and the returned plan doesn't replay every round; on a real
+    cluster a persistent-storage checkpoint or table write replaces this
+    (localCheckpoint does not survive executor loss)."""
+    e0 = edges.select("a", "b")
+    edges_sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = vertices.select("v", F.col("v").alias("lbl")).persist()
+    try:
+        for _ in range(max_iters):
+            msgs = (
+                edges_sym.alias("e")
+                .join(labels.alias("l"), F.col("e.a") == F.col("l.v"))
+                .select(F.col("e.b").alias("v"), F.col("l.lbl").alias("lbl"))
+            )
+            new_labels = (
+                labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            ).persist()
+            changed = (
+                labels.alias("o")
+                .join(new_labels.alias("n"), "v")
+                .filter(F.col("o.lbl") != F.col("n.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.localCheckpoint(eager=True)
+    finally:
+        edges_sym.unpersist()
+        labels.unpersist()
+
+
 # --------------------------------------------------------------------------
 # SimHash
 

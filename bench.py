@@ -34,6 +34,7 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash",
     "langid",
     "quality_score",

@@ -98,3 +98,52 @@ def test_jaccard_survives_hot_shingle(spark, tmp_path):
     assert (0, 1) in got
     # no pair should exist purely via the hot shingle
     assert all(p == (0, 1) for p in got)
+
+
+def test_connected_components_transitive_chain(spark):
+    """Keeper resolution must be TRANSITIVE: a chain 1-2-3-...-8 (each link a
+    pair, ends sharing nothing) all maps to vertex 1; a separate clique maps
+    to its min; singletons keep their own id. The 8-link chain exercises
+    multiple propagation rounds (diameter > 1)."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
+
+    verts = spark.createDataFrame([(v,) for v in range(1, 15)], "v long")
+    chain = [(i, i + 1) for i in range(1, 8)]          # 1..8 chain
+    clique = [(10, 11), (10, 12), (11, 12)]            # 10..12 clique
+    edges = spark.createDataFrame(chain + clique, "a long, b long")
+    got = {r.v: r.lbl for r in connected_components(verts, edges).collect()}
+    assert got == {
+        **{v: 1 for v in range(1, 9)},
+        **{v: 10 for v in (10, 11, 12)},
+        9: 9, 13: 13, 14: 14,
+    }
+
+
+def test_dedup_clusters_matches_pairwise_closure(spark):
+    """dedup_clusters == transitive closure of minhash_lsh_pairs, computed
+    independently with a driver-side union-find over the collected pairs."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = [(r.d1, r.d2) for r in minhash_lsh_pairs(spark, SF_DIR).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {r.doc_id: r.cluster for r in dedup_clusters(spark, SF_DIR).collect()}
+    for doc, cluster in got.items():
+        exp = min(
+            m for m in got if find(m) == find(doc)
+        ) if doc in parent else doc
+        assert cluster == exp, (doc, cluster, exp)
