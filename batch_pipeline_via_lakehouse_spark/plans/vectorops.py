@@ -317,6 +317,70 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    spark,
+    df: DataFrame,
+    k: int = _IVF_K,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd k-means over an embedding column — the trained-
+    centroid path for IVF (ann_ivf_topk's deterministic first-K centroids
+    are the oracle-friendly stand-in; production IVF trains its codebook).
+
+    Scale shape: per iteration ONE job — a mapInPandas pass emits per-batch
+    partial sums (cell, count, sum-vector), k x dim x #partitions floats —
+    KB-scale partials reduced driver-side into new centroids, broadcast back
+    through the next task closure. No shuffle at all: the classic
+    mapPartitions+driver-reduce k-means. Assignment is the same argmax-
+    by-cosine kernel the IVF query uses. Empty cells keep their previous
+    centroid. Init = the k rows with the smallest ids (deterministic).
+
+    Returns the (k, dim) centroid matrix."""
+    import pandas as pd
+
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cmat = np.array([r[vec_col] for r in init], dtype=np.float64)
+    dim = cmat.shape[1]
+
+    for _ in range(iters):
+        c = cmat.copy()
+        cnorm = np.sqrt((c * c).sum(axis=1))
+
+        def partials(batches, c=c, cnorm=cnorm):
+            for b in batches:
+                m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                cos = (m @ c.T) / (
+                    np.sqrt((m * m).sum(axis=1))[:, None] * cnorm[None, :]
+                )
+                cell = np.argmax(cos, axis=1)
+                rows = []
+                for ci in np.unique(cell):
+                    sel = m[cell == ci]
+                    rows.append((int(ci), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "n", "sums"])
+
+        agg = (
+            df.select(vec_col)
+            .mapInPandas(partials, f"cell int, n long, sums array<double>")
+            .collect()
+        )
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        for r in agg:
+            counts[r.cell] += r.n
+            sums[r.cell] += np.array(r.sums)
+        nonempty = counts > 0
+        cmat[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cmat
+
+
 @query(
     "ann_lsh_buckets",
     oracle=f"""

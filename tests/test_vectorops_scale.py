@@ -76,3 +76,44 @@ def test_ivf_cell_assignment_is_shuffle_free(spark):
     for part in re.findall(r"hashpartitioning\([^)]*\)", plan):
         assert "embedding" not in part, plan[:4000]
     assert "HashAggregate" not in plan or "embedding#" not in plan.split("HashAggregate")[1][:200]
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    """Distributed Lloyd k-means (partial-sum mapInPandas + driver reduce)
+    must converge to the same cells as a single-process NumPy reference run
+    from the same deterministic init, on the same data."""
+    import numpy as np
+
+    from batch_pipeline_via_lakehouse_spark.plans.vectorops import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    k, n, dim = 4, 400, 16
+    centers = rng.normal(size=(k, dim)) * 5
+    pts = np.concatenate(
+        [centers[i] + rng.normal(size=(n // k, dim)) for i in range(k)]
+    )
+    rows = [(i, pts[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = kmeans_fit(spark, df, k=k, iters=6)
+
+    # reference: identical algorithm, single process
+    cmat = pts[:k].astype(np.float64).copy()
+    for _ in range(6):
+        cos = (pts @ cmat.T) / (
+            np.linalg.norm(pts, axis=1)[:, None] * np.linalg.norm(cmat, axis=1)[None, :]
+        )
+        cell = np.argmax(cos, axis=1)
+        for c in range(k):
+            if (cell == c).any():
+                cmat[c] = pts[cell == c].mean(axis=0)
+
+    # same final assignment (centroids can differ by float-summation order)
+    def assign(c):
+        cos = (pts @ c.T) / (
+            np.linalg.norm(pts, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+        )
+        return np.argmax(cos, axis=1)
+
+    assert (assign(got) == assign(cmat)).all()
+    assert np.allclose(got, cmat, rtol=1e-9, atol=1e-9)
