@@ -70,40 +70,55 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
             "cast(conv(hex(rpad(cast(cast(doc_id as string) as binary), 7, x'00')),"
             " 16, 10) as bigint)"
         )
-    df = df.withColumn("_ord", ord_expr)
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    cut_rows = (
-        df.groupBy("source")
-        .agg(F.percentile_approx("_ord", fracs, 10_000).alias("cuts"))
-        .collect()
-    )
-    cuts_df = F.broadcast(
-        spark.createDataFrame(
-            [(r["source"], [int(c) for c in (r["cuts"] or [])]) for r in cut_rows],
-            "source string, cuts array<bigint>",
+    # NULL source is a real group (the single-window form kept it as its own
+    # partition): key the metadata joins on a never-null image of source
+    skey = F.coalesce(F.col("source").cast("string"), F.lit("\x00<null>"))
+    df = df.withColumn("_ord", ord_expr).withColumn("_sk", skey)
+    # the two metadata passes (split points, bucket totals) run over a
+    # persisted 3-column projection — one upstream evaluation (tokenize/scan)
+    # instead of three; the main pass below is the second and last
+    slim = df.select("_sk", "_ord", "n_tok").persist()
+    try:
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        cut_rows = (
+            slim.groupBy("_sk")
+            .agg(F.percentile_approx("_ord", fracs, 10_000).alias("cuts"))
+            .collect()
         )
-    )
-    bucketed = (
-        df.join(cuts_df, "source")
+        cuts_df = F.broadcast(
+            spark.createDataFrame(
+                [(r["_sk"], [int(c) for c in (r["cuts"] or [])]) for r in cut_rows],
+                "_sk string, cuts array<bigint>",
+            )
+        )
         # monotone step function of doc_id: rows in bucket k all precede
         # rows in bucket k+1 in (source, doc_id) order
-        .withColumn("_bkt", F.expr("size(filter(cuts, c -> c < _ord))"))
-        .drop("cuts", "_ord")
-    )
-    totals = bucketed.groupBy("source", "_bkt").agg(F.sum("n_tok").alias("t")).collect()
+        bkt = F.expr("size(filter(cuts, c -> c < _ord))")
+        totals = (
+            slim.join(cuts_df, "_sk")
+            .withColumn("_bkt", bkt)
+            .groupBy("_sk", "_bkt")
+            .agg(F.sum("n_tok").alias("t"))
+            .collect()
+        )
+    finally:
+        slim.unpersist()
     acc: dict[str, int] = {}
     base_rows = []
-    for r in sorted(totals, key=lambda r: (r["source"], r["_bkt"])):
-        base_rows.append((r["source"], r["_bkt"], acc.get(r["source"], 0)))
-        acc[r["source"]] = acc.get(r["source"], 0) + int(r["t"] or 0)
+    for r in sorted(totals, key=lambda r: (r["_sk"], r["_bkt"])):
+        base_rows.append((r["_sk"], r["_bkt"], acc.get(r["_sk"], 0)))
+        acc[r["_sk"]] = acc.get(r["_sk"], 0) + int(r["t"] or 0)
     base_df = F.broadcast(
-        spark.createDataFrame(base_rows, "source string, _bkt int, _base long")
+        spark.createDataFrame(base_rows, "_sk string, _bkt int, _base long")
     )
-    w = Window.partitionBy("source", "_bkt").orderBy("doc_id")
+    w = Window.partitionBy("_sk", "_bkt").orderBy("doc_id")
     return (
-        bucketed.join(base_df, ["source", "_bkt"])
+        df.join(cuts_df, "_sk")
+        .withColumn("_bkt", bkt)
+        .drop("cuts", "_ord")
+        .join(base_df, ["_sk", "_bkt"])
         .withColumn("_start", F.col("_base") + F.sum("n_tok").over(w) - F.col("n_tok"))
-        .drop("_base")
+        .drop("_base", "_sk")
     )
 
 
@@ -287,11 +302,16 @@ def pack_table_windows(
         spark.createDataFrame(base_rows or [("", 0)], "_relpath string, _base long")
     )
     # input_file_name() is a percent-encoded URI; normalize JVM-side (strip
-    # scheme, url_decode the %xx escapes — the same decode operators/merge.py
-    # applies driver-side) and relativize against the table root so it joins
-    # the manifest-relative base-offset map
+    # scheme, percent-decode) and relativize against the table root so it
+    # joins the manifest-relative base-offset map. url_decode is form-
+    # urlencoded ('+' -> space), but the URI encoder leaves literal '+'
+    # unescaped — pre-escaping '+' to %2B makes the decode pure percent-
+    # decoding (same result as operators/merge.py's urllib unquote)
     scan = table.scan(spark).withColumn("_file_uri", F.input_file_name())
-    rel = F.expr("url_decode(regexp_replace(_file_uri, '^file:/+', '/'))")
+    rel = F.expr(
+        r"url_decode(regexp_replace(regexp_replace(_file_uri, '^file:/+', '/'),"
+        r" '\\+', '%2B'))"
+    )
     scan = scan.withColumn(
         "_relpath", F.regexp_replace(rel, "^" + re.escape(os.path.join(root, "")), "")
     ).drop("_file_uri")

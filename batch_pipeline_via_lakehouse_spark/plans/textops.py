@@ -444,6 +444,14 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # never return silently-wrong clusters: a component whose
+            # diameter exceeds the round cap has not converged
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(component diameter exceeds the cap — raise max_iters or "
+                "switch to pointer-doubling)"
+            )
         return labels.localCheckpoint(eager=True)
     finally:
         edges_sym.unpersist()

@@ -346,18 +346,23 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(f"kmeans_fit: k={k} exceeds input rows ({len(init)})")
     cmat = np.array([r[vec_col] for r in init], dtype=np.float64)
     dim = cmat.shape[1]
 
     for _ in range(iters):
         c = cmat.copy()
-        cnorm = np.sqrt((c * c).sum(axis=1))
+        # zero-norm guard: an all-zero vector gets cos=0 everywhere and a
+        # deterministic argmax of cell 0 instead of NaN-poisoned assignments
+        cnorm = np.maximum(np.sqrt((c * c).sum(axis=1)), 1e-300)
 
         def partials(batches, c=c, cnorm=cnorm):
             for b in batches:
                 m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
                 cos = (m @ c.T) / (
-                    np.sqrt((m * m).sum(axis=1))[:, None] * cnorm[None, :]
+                    np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-300)[:, None]
+                    * cnorm[None, :]
                 )
                 cell = np.argmax(cos, axis=1)
                 rows = []

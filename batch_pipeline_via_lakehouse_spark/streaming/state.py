@@ -21,6 +21,12 @@ watermark are dropped by the engine before they reach the operator.
 Fragment count is bounded by (observed event-time span) / gap per key —
 out-of-order data can hold a few fragments open; totally ordered data holds
 exactly one.
+
+State-schema note: this is state format v2 (three parallel long arrays). v1
+checkpoints (one ``start_ms/last_ms/n`` triple) cannot be decoded under the
+v2 ``stateStructType``; restarting a v1 query against a retained checkpoint
+requires draining it first (stop input, let all sessions time out and emit)
+or discarding the checkpoint.
 """
 
 from __future__ import annotations
@@ -41,12 +47,15 @@ def _ms(ts) -> int:
     return int(ts.value // 1_000_000)  # pandas Timestamp ns -> ms
 
 
-def _fold(frags: list[list[int]], t_ms: int, gap_ms: int) -> list[list[int]]:
-    """Insert one event into the fragment set: start a new fragment, extend
-    an existing one, or bridge adjacent fragments — by event-time distance,
-    not arrival order. Keeps the invariant: sorted by start, consecutive
-    fragments separated by MORE than the gap."""
-    frags.append([t_ms, t_ms, 1])
+def _fold(frags: list[list[int]], ts_ms: list[int], gap_ms: int) -> list[list[int]]:
+    """Fold a batch of event times into the fragment set in ONE sort + merge
+    pass (arrival order is irrelevant — only event-time distance matters):
+    each event starts a new fragment, extends one, or bridges neighbors.
+    Keeps the invariant: sorted by start, consecutive fragments separated by
+    MORE than the gap. O((F+E) log(F+E)) per batch, not per event."""
+    frags = frags + [[t, t, 1] for t in ts_ms]
+    if not frags:
+        return frags
     frags.sort(key=lambda f: f[0])
     out = [frags[0]]
     for f in frags[1:]:
@@ -72,9 +81,9 @@ def make_sessionizer(gap_seconds: int):
             frags = [list(f) for f in zip(starts, lasts, ns)]
 
         if not state.hasTimedOut:
-            for p in pdfs:
-                for t in p["ts"]:
-                    frags = _fold(frags, _ms(t), gap_ms)
+            frags = _fold(
+                frags, [_ms(t) for p in pdfs for t in p["ts"]], gap_ms
+            )
 
         # a fragment is FINAL iff no admissible event (ts >= watermark) can
         # still fold into or bridge onto it: watermark > last + gap

@@ -249,3 +249,23 @@ def test_pack_table_windows_fallback_on_overlap(spark, tmp_path):
     got = {(r.source, r.bin): list(r.tokens) for r in fast.collect()}
     exp = {(r.source, r.bin): list(r.tokens) for r in generic.collect()}
     assert got == exp and got
+
+
+def test_offsets_keep_null_source_group(spark):
+    """NULL source is a real group (the single-window form kept it as its
+    own partition): the bucketed path must not drop those rows through its
+    inner metadata joins."""
+    from pyspark.sql import Window
+
+    from batch_pipeline_via_lakehouse_spark.plans.packing import _with_start_offsets
+
+    rows = [(0, [], 5, None), (1, [], 3, "a"), (2, [], 7, None), (3, [], 2, "a")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.doc_id: r._start for r in _with_start_offsets(df, n_buckets=3).collect()}
+    legacy = df.withColumn(
+        "_start",
+        F.sum("n_tok").over(Window.partitionBy("source").orderBy("doc_id"))
+        - F.col("n_tok"),
+    )
+    exp = {r.doc_id: r._start for r in legacy.collect()}
+    assert got == exp and len(got) == 4

@@ -147,3 +147,16 @@ def test_dedup_clusters_matches_pairwise_closure(spark):
             m for m in got if find(m) == find(doc)
         ) if doc in parent else doc
         assert cluster == exp, (doc, cluster, exp)
+
+
+def test_connected_components_raises_past_round_cap(spark):
+    """A component whose diameter exceeds max_iters must raise, never return
+    silently-wrong clusters."""
+    import pytest
+
+    from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
+
+    verts = spark.createDataFrame([(v,) for v in range(1, 9)], "v long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_iters=2)
