@@ -345,6 +345,100 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "repetition_ratio",
+    # 1-based list indexing in DuckDB; guard docs with < 3 words to an empty
+    # gram list on BOTH engines (Spark's sequence(0, -1) would run backwards)
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             END AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST(floor(1000.0 * (len(grams) - len(list_distinct(grams)))
+                      / NULLIF(len(grams), 0)) AS BIGINT) AS dup_frac_m,
+           (len(grams) > 0 AND
+            (len(grams) - len(list_distinct(grams))) * 10 <= 3 * len(grams)) AS passes
+    FROM g
+    """,
+)
+def repetition_ratio(spark, sf_dir) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/RefinedWeb-style quality
+    gate): fraction of duplicated word-3grams per document, pass iff <= 30%.
+    Pure projection — higher-order transform/array_distinct on the split
+    array, no explode, no shuffle; the pass test is integer math so both
+    engines agree exactly."""
+    d = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(_w) < 3 THEN array() ELSE"
+        " transform(sequence(0, size(_w) - 3),"
+        " i -> concat(_w[i], ' ', _w[i+1], ' ', _w[i+2])) END"
+    )
+    g = d.select("doc_id", words_col().alias("_w")).select(
+        "doc_id", grams.alias("grams")
+    )
+    total = F.size("grams").cast("long")
+    dist = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        total.alias("n_grams"),
+        dist.alias("n_distinct"),
+        F.floor(1000.0 * (total - dist) / F.nullif(total, F.lit(0)))
+        .cast("long")
+        .alias("dup_frac_m"),
+        ((total > 0) & ((total - dist) * 10 <= 3 * total)).alias("passes"),
+    )
+
+
+_DECON_MOD = 97  # doc_id % _DECON_MOD == 0 plays the held-out eval set
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM grams t JOIN eval_grams e ON t.g = e.g
+    WHERE t.doc_id % {_DECON_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word-
+    3gram with the held-out eval set (deterministically, docs with
+    doc_id % {_DECON_MOD} == 0 play the benchmark). Output = contaminated
+    doc -> count of distinct shared shingles.
+
+    Scale shape: the eval-side gram set is benchmark-sized (thousands of
+    documents, not the corpus), so it BROADCASTS — the corpus-side gram
+    stream is filtered map-side and only the surviving hits shuffle into the
+    per-doc count. The corpus is never re-sharded on the shingle."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("doc_id", words_col().alias("w")).select(
+        "doc_id", F.explode(word_3grams_expr("w")).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 _CC_MAX_ITERS = 20
 
 

@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_clusters",
     "simhash",
     "langid",
+    "repetition_ratio",
+    "decontaminate",
     "quality_score",
     "ann_topk",
     "embedding_neardup",

@@ -160,3 +160,23 @@ def test_connected_components_raises_past_round_cap(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, chain, max_iters=2)
+
+
+def test_repetition_ratio_is_shuffle_free(spark):
+    """The repetition gate is a per-document projection — no explode, no
+    Exchange (same scale class as langid)."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import repetition_ratio
+
+    plan = repetition_ratio(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan, plan[:3000]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram set must broadcast (benchmark-sized), so the corpus gram
+    stream is filtered map-side — never re-sharded on the shingle."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import decontaminate
+
+    plan = decontaminate(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the only exchanges are the eval-side broadcast + the per-doc count agg
+    assert "SortMergeJoin" not in plan
