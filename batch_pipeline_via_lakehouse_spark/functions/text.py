@@ -37,12 +37,20 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def word_3grams_expr(words_col_name: str) -> Column:
-    """Distinct word trigrams from an array column (SQL-lambda, JVM-side)."""
+def word_3grams_all_expr(words_col_name: str) -> Column:
+    """Word trigrams WITH multiplicity from an array column (SQL-lambda,
+    JVM-side). Docs with fewer than 3 words yield an empty array — the
+    unguarded form would evaluate sequence(0, -1) == [0, -1] (descending)
+    and index past the array, which under Spark 4's default ANSI mode
+    aborts the job with INVALID_ARRAY_INDEX on the first short document."""
     w = words_col_name
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size({w}) - 3, -1)),"
-            f" i -> concat({w}[i], ' ', {w}[i+1], ' ', {w}[i+2]))"
-        )
+    return F.expr(
+        f"CASE WHEN size({w}) < 3 THEN array() ELSE"
+        f" transform(sequence(0, size({w}) - 3),"
+        f" i -> concat({w}[i], ' ', {w}[i+1], ' ', {w}[i+2])) END"
     )
+
+
+def word_3grams_expr(words_col_name: str) -> Column:
+    """Distinct word trigrams from an array column (short-doc-safe)."""
+    return F.array_distinct(word_3grams_all_expr(words_col_name))

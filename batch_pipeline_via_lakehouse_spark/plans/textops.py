@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import LANG_PRIORITY, STOPWORDS, md5_int, word_3grams_expr, words_col
+from ..functions.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    md5_int,
+    word_3grams_all_expr,
+    word_3grams_expr,
+    words_col,
+)
 from .registry import load, query
 
 # --------------------------------------------------------------------------
@@ -377,13 +384,8 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
     array, no explode, no shuffle; the pass test is integer math so both
     engines agree exactly."""
     d = load(spark, sf_dir, "documents")
-    grams = F.expr(
-        "CASE WHEN size(_w) < 3 THEN array() ELSE"
-        " transform(sequence(0, size(_w) - 3),"
-        " i -> concat(_w[i], ' ', _w[i+1], ' ', _w[i+2])) END"
-    )
     g = d.select("doc_id", words_col().alias("_w")).select(
-        "doc_id", grams.alias("grams")
+        "doc_id", word_3grams_all_expr("_w").alias("grams")
     )
     total = F.size("grams").cast("long")
     dist = F.size(F.array_distinct("grams")).cast("long")
@@ -415,7 +417,7 @@ _DECON_MOD = 97  # doc_id % _DECON_MOD == 0 plays the held-out eval set
     """,
 )
 def decontaminate(spark, sf_dir) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any word-
+    f"""Benchmark decontamination: flag training documents sharing any word-
     3gram with the held-out eval set (deterministically, docs with
     doc_id % {_DECON_MOD} == 0 play the benchmark). Output = contaminated
     doc -> count of distinct shared shingles.

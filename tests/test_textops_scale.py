@@ -176,7 +176,49 @@ def test_decontaminate_broadcasts_eval_side(spark):
     stream is filtered map-side — never re-sharded on the shingle."""
     from batch_pipeline_via_lakehouse_spark.plans.textops import decontaminate
 
+    import re
+
     plan = decontaminate(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:3000]
-    # the only exchanges are the eval-side broadcast + the per-doc count agg
     assert "SortMergeJoin" not in plan
+    # pin the shuffle set exactly: one hashpartitioning on the EVAL side's
+    # distinct (g) + one for the final per-doc count — the corpus gram
+    # stream itself is never re-sharded
+    parts = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert len(parts) == 2 and any("doc_id" in p for p in parts) and any(
+        p.startswith("g#") for p in parts
+    ), parts
+
+
+def test_gram_pipelines_survive_short_docs(spark, tmp_path):
+    """Documents with fewer than 3 words must flow through every trigram
+    pipeline without error (Spark 4 ANSI mode aborts on out-of-bounds array
+    indexing — the unguarded sequence(0,-1) form indexed w[-1]) and without
+    phantom NULL grams."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import (
+        decontaminate,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        repetition_ratio,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta"),   # doc_id % 97 == 0 -> eval set
+        (1, "only two"),
+        (2, "x"),
+        (3, "alpha beta gamma shared"),  # shares 'alpha beta gamma' with eval
+        (97, ""),                        # eval doc with no real words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    contaminated = {r.doc_id for r in decontaminate(spark, sf).collect()}
+    assert contaminated == {3}  # short docs pass through, real hit found
+    rr = {r.doc_id: (r.n_grams, r.passes) for r in repetition_ratio(spark, sf).collect()}
+    assert rr[1] == (0, False) and rr[2] == (0, False) and rr[0][0] == 2
+    sig = minhash_signature(spark, sf).collect()  # short docs: no gram rows
+    assert {r.doc_id for r in sig} == {0, 3}
+    assert ngram_jaccard_pairs(spark, sf).count() >= 0  # runs clean
