@@ -140,24 +140,28 @@ def langid(spark, sf_dir) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_words,
-           CAST(floor(1000.0 * n_punct / n_chars) AS BIGINT) AS punct_ratio_m,
+           CAST(floor(1000.0 * n_punct / NULLIF(n_chars, 0)) AS BIGINT) AS punct_ratio_m,
            CAST(floor(100.0 * n_chars / n_words) AS BIGINT) AS mean_wordlen_c,
-           (n_words BETWEEN 20 AND 1000 AND n_punct * 1.0 / n_chars < 0.1) AS passes
+           (n_words BETWEEN 20 AND 1000
+            AND n_punct * 1.0 / NULLIF(n_chars, 0) < 0.1) AS passes
     FROM f
     """,
 )
 def quality_score(spark, sf_dir) -> DataFrame:
     """Quality heuristics: length band, punctuation density, mean word
-    length, pass/fail gate (floor-scaled ints for bit-stable compare)."""
+    length, pass/fail gate (floor-scaled ints for bit-stable compare).
+    n_chars is NULLIF-guarded on both engines: an empty document would
+    otherwise produce NaN and abort the long cast under ANSI mode."""
     d = load(spark, sf_dir, "documents")
     n_words = F.size(words_col())
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    nchars = F.nullif(F.col("n_chars"), F.lit(0))
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.floor(1000.0 * n_punct / F.col("n_chars")).cast("long").alias("punct_ratio_m"),
+        F.floor(1000.0 * n_punct / nchars).cast("long").alias("punct_ratio_m"),
         F.floor(100.0 * F.col("n_chars") / n_words).cast("long").alias("mean_wordlen_c"),
-        (n_words.between(20, 1000) & (n_punct * 1.0 / F.col("n_chars") < 0.1)).alias("passes"),
+        (n_words.between(20, 1000) & (n_punct * 1.0 / nchars < 0.1)).alias("passes"),
     )
 
 

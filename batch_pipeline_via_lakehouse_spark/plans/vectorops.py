@@ -28,16 +28,19 @@ _PLANES = 8
 
 def _cosine_expr(a: str, b: str) -> F.Column:
     """cosine(a, b) entirely in Spark SQL lambdas (JVM, codegen-friendly);
-    elements cast to double before multiply for engine-stable accumulation."""
+    elements cast to double before multiply for engine-stable accumulation.
+    The norm product is NULLIF-guarded (mirrored in _COS_SQL): a zero-norm
+    vector yields NULL cosine instead of NaN — which would abort the
+    floor(...)::long casts downstream under ANSI mode."""
     dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v)"
     na = f"aggregate({a}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
     nb = f"aggregate({b}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
-    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+    return F.expr(f"({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0D)")
 
 
 _COS_SQL = (
     "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    "NULLIF(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 0)"
 )
 
 

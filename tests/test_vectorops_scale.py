@@ -117,3 +117,27 @@ def test_kmeans_fit_matches_numpy_reference(spark):
 
     assert (assign(got) == assign(cmat)).all()
     assert np.allclose(got, cmat, rtol=1e-9, atol=1e-9)
+
+
+def test_cosine_survives_zero_norm_vectors(spark):
+    """A zero-norm embedding must yield NULL cosine (filtered out of top-k),
+    not a NaN that aborts the long cast under ANSI mode."""
+    from batch_pipeline_via_lakehouse_spark.plans.vectorops import _cosine_expr
+
+    rows = [
+        (0, "q", [1.0] * 64),
+        (1, "a", [0.0] * 64),                      # zero-norm
+        (2, "b", [1.0] * 64),
+    ]
+    e = _df(spark, rows)
+    from pyspark.sql import functions as F
+
+    q = F.broadcast(e.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
+    cos = _cosine_expr("q_emb", "embedding")
+    out = {
+        r.vec_id: r.cos_m
+        for r in e.crossJoin(q)
+        .select("vec_id", F.floor(1000 * cos).cast("long").alias("cos_m"))
+        .collect()
+    }
+    assert out[1] is None and out[2] == 1000  # no ANSI abort, NULL for zero-norm
