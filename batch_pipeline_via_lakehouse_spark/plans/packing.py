@@ -59,10 +59,19 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
         n_buckets = max(2, spark.sparkContext.defaultParallelism)
     # split points need a NUMERIC, monotone-nondecreasing image of doc_id
     # (percentile_approx can't rank strings): numerics pass through floor;
-    # anything else maps to its first 7 UTF8 bytes zero-padded — byte-prefix
-    # order == Spark's binary string order, and rows that collide on the
+    # anything else maps to its first 7 UTF8 bytes zero-padded. Byte-prefix
+    # order equals Spark's string sort order for ASCII/BMP text (UTF-8 and
+    # UTF-16 code-unit order agree below U+10000); rows that collide on the
     # prefix merely share a bucket (the in-bucket window still orders by the
-    # true doc_id)
+    # true doc_id). Spark 4's default UTF8_BINARY collation compares UTF-8
+    # bytes, so the mapping is monotone even for supplementary-plane text
+    # (verified empirically); but that equivalence is collation-dependent —
+    # engines or collations comparing UTF-16 code units order surrogate
+    # pairs below U+E000 while their UTF-8 bytes sort above. Defensively, a
+    # source whose doc_ids contain any codepoint >= U+10000 is detected in
+    # the same metadata pass and collapses to a single bucket — always
+    # exact, just serial for that source.
+    supp = F.lit(False)
     if isinstance(df.schema["doc_id"].dataType, NumericType):
         ord_expr = F.floor(F.col("doc_id")).cast("bigint")
     else:
@@ -70,24 +79,40 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
             "cast(conv(hex(rpad(cast(cast(doc_id as string) as binary), 7, x'00')),"
             " 16, 10) as bigint)"
         )
+        supp = F.col("doc_id").cast("string").rlike("[\\x{10000}-\\x{10FFFF}]")
     # NULL source is a real group (the single-window form kept it as its own
-    # partition): key the metadata joins on a never-null image of source
-    skey = F.coalesce(F.col("source").cast("string"), F.lit("\x00<null>"))
+    # partition): key the metadata joins on a never-null, collision-proof
+    # image of source — a tag character ('n' null / 'v' value) prefixes real
+    # values, so no real source string can collide with the null marker
+    skey = F.when(F.col("source").isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.col("source").cast("string"))
+    )
     df = df.withColumn("_ord", ord_expr).withColumn("_sk", skey)
     # the two metadata passes (split points, bucket totals) run over a
     # persisted 3-column projection — one upstream evaluation (tokenize/scan)
     # instead of three; the main pass below is the second and last
-    slim = df.select("_sk", "_ord", "n_tok").persist()
+    slim = df.select("_sk", "_ord", "n_tok", supp.alias("_supp")).persist()
     try:
         fracs = [i / n_buckets for i in range(1, n_buckets)]
         cut_rows = (
             slim.groupBy("_sk")
-            .agg(F.percentile_approx("_ord", fracs, 10_000).alias("cuts"))
+            .agg(
+                F.percentile_approx("_ord", fracs, 10_000).alias("cuts"),
+                F.max("_supp").alias("supp"),
+            )
             .collect()
         )
         cuts_df = F.broadcast(
             spark.createDataFrame(
-                [(r["_sk"], [int(c) for c in (r["cuts"] or [])]) for r in cut_rows],
+                [
+                    (
+                        r["_sk"],
+                        []
+                        if r["supp"]
+                        else [int(c) for c in (r["cuts"] or [])],
+                    )
+                    for r in cut_rows
+                ],
                 "_sk string, cuts array<bigint>",
             )
         )
@@ -266,6 +291,13 @@ def pack_table_windows(
             or f.stat("doc_id", "max") is None
             or f.stat("n_tok", "sum") is None
             or (f.stat("source", "min") != f.stat("source", "max"))
+            # min/max manifest stats ignore NULLs: a file mixing NULL and
+            # non-NULL source would pass the min==max check (and NULL doc_ids
+            # would pass the range checks) while its NULL rows' tokens still
+            # count into the base offsets — require zero nulls on both key
+            # columns, treating a missing null-count stat as unsafe
+            or f.stat("source", "nulls") != 0
+            or f.stat("doc_id", "nulls") != 0
             for f in fs
         ):
             sortable = False

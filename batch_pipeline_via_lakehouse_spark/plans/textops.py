@@ -421,10 +421,10 @@ _DECON_MOD = 97  # doc_id % _DECON_MOD == 0 plays the held-out eval set
     """,
 )
 def decontaminate(spark, sf_dir) -> DataFrame:
-    f"""Benchmark decontamination: flag training documents sharing any word-
+    """Benchmark decontamination: flag training documents sharing any word-
     3gram with the held-out eval set (deterministically, docs with
-    doc_id % {_DECON_MOD} == 0 play the benchmark). Output = contaminated
-    doc -> count of distinct shared shingles.
+    doc_id % 97 == 0 — see _DECON_MOD — play the benchmark). Output =
+    contaminated doc -> count of distinct shared shingles.
 
     Scale shape: the eval-side gram set is benchmark-sized (thousands of
     documents, not the corpus), so it BROADCASTS — the corpus-side gram
@@ -588,8 +588,8 @@ def _simhash_sql() -> str:
 
 @query("simhash", oracle=_simhash_sql())
 def simhash(spark, sf_dir) -> DataFrame:
-    f"""SimHash ({_SIMHASH_BITS}-bit) per document: word-hash bit votes,
-    sign-aggregated — one groupBy, all JVM expressions."""
+    """SimHash (16-bit — see _SIMHASH_BITS) per document: word-hash bit
+    votes, sign-aggregated — one groupBy, all JVM expressions."""
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(words_col()).alias("word"))
     hashed = words.select("doc_id", md5_int(F.col("word")).alias("h"))

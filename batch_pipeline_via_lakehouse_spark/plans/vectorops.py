@@ -301,7 +301,10 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
         for d in range(m.shape[1]):
             dots += m[:, d : d + 1] * cmat[None, :, d]
             vnorm += m[:, d] * m[:, d]
-        cos = dots / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+        # zero-norm clamp (same as kmeans_fit): a zero vector gets cos=0
+        # everywhere and deterministically lands in cids[0] instead of an
+        # all-NaN row whose argmax is an accident of NaN propagation
+        cos = dots / np.maximum(np.sqrt(vnorm)[:, None] * cnorm[None, :], 1e-300)
         return pd.Series(cids[np.argmax(cos, axis=1)])
 
     assigned = e.select(

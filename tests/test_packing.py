@@ -269,3 +269,84 @@ def test_offsets_keep_null_source_group(spark):
     )
     exp = {r.doc_id: r._start for r in legacy.collect()}
     assert got == exp and len(got) == 4
+
+
+def test_offsets_supplementary_plane_doc_ids(spark):
+    """String doc_ids containing supplementary-plane characters trip the
+    defensive collation guard (UTF-16-comparing collations order surrogate
+    pairs below U+E000 while their UTF-8 bytes sort above; Spark 4's default
+    UTF8_BINARY happens to agree with the byte ordinal, but the guard holds
+    regardless): the affected source collapses to a single bucket and still
+    produces exact offsets; unaffected sources keep their buckets."""
+    from pyspark.sql import Window
+
+    from batch_pipeline_via_lakehouse_spark.plans.packing import _with_start_offsets
+
+    # U+10000 sorts BELOW U+F900 in Spark (UTF-16 code units) but its UTF-8
+    # bytes (F0 90 ...) sort above (EF A4 ...) — the adversarial pair
+    ids = ["\U00010000aa", "豈bb", "a", "b", "\U0001f600zz", "c"]
+    rows = [(d, [], (i + 1) * 3, "s") for i, d in enumerate(ids)]
+    rows += [(f"x{i}", [], i + 1, "plain") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {r.doc_id: r._start for r in _with_start_offsets(df, n_buckets=4).collect()}
+    legacy = df.withColumn(
+        "_start",
+        F.sum("n_tok").over(Window.partitionBy("source").orderBy("doc_id"))
+        - F.col("n_tok"),
+    )
+    exp = {r.doc_id: r._start for r in legacy.collect()}
+    assert got == exp and len(got) == 12
+
+
+def test_pack_table_windows_null_mix_falls_back(spark, tmp_path):
+    """A file mixing NULL and non-NULL source passes the min==max stat check
+    (min/max manifest stats ignore NULLs) — the null-count gate must reject
+    the manifest fast path, fall back to the generic bucketed path, and keep
+    the NULL-source rows as their own stream."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from batch_pipeline_via_lakehouse_spark.plans.packing import (
+        pack_table_windows,
+        pack_token_windows,
+    )
+    from batch_pipeline_via_lakehouse_spark.table import Table
+
+    sch = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType(), False), False),
+            StructField("n_tok", IntegerType(), False),
+            StructField("source", StringType(), True),
+        ]
+    )
+    t = Table.create(str(tmp_path / "tok"), sch, partition_by=[])
+    docs = [
+        (f"{i:04d}", list(range(i * 3, i * 3 + 3)), 3, None if i % 3 == 0 else "web")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, sch).coalesce(1)
+    t.commit(t.write_datafiles(df, sort_within=["doc_id"]), set(), "append")
+    fast = pack_table_windows(spark, t, ctx_len=16)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan  # null-count gate forced the generic path
+    generic = pack_token_windows(
+        t.scan(spark).select(
+            "doc_id",
+            F.col("source").cast("string").alias("source"),
+            "tokens",
+            F.col("n_tok").cast("long").alias("n_tok"),
+        ),
+        ctx_len=16,
+    )
+    got = {(r.source, r.bin): list(r.tokens) for r in fast.collect()}
+    exp = {(r.source, r.bin): list(r.tokens) for r in generic.collect()}
+    assert got == exp and got
+    assert any(src is None for src, _ in got)  # NULL stream survived
