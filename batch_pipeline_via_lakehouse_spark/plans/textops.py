@@ -491,13 +491,12 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     even if A and C share no band).
 
     Spark-first iterative shape: min-label propagation over the symmetric
-    edge list — per round one edge⋈label join + one min-groupBy, converging
-    in (component diameter) rounds with a driver-side fixed-point test.
-    Near-dup components are short chains/cliques (diameter ~2-4); the
-    20-round cap is a safety bound, and at adversarial-chain scale the same
-    loop upgrades to pointer-doubling (large-star/small-star) without
-    changing the per-round operators. Each round's shuffle is bounded by the
-    candidate-pair count, not the corpus."""
+    edge list — per round one edge⋈label join + one min-groupBy that also
+    folds in the fixed-point probe; pointer doubling engages automatically
+    past round 4, so adversarial boilerplate chains converge in O(log
+    diameter) rounds. Only edge-incident documents iterate (singletons
+    attach in one final left join), so each round's shuffle is bounded by
+    the candidate-pair count, not the corpus."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id")
     return connected_components(
@@ -507,55 +506,111 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    doubling_from: int = 4,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list:
     ``vertices (v)``, ``edges (a, b)`` -> ``(v, lbl)`` where lbl is the MIN
-    vertex id of v's component. Iterative label propagation with a
-    driver-side fixed-point test; converges in (component diameter) rounds,
-    capped at ``max_iters``. The result is localCheckpoint-ed executor-side
-    (never a driver collect — the mapping is corpus-sized) so the caches can
-    be released and the returned plan doesn't replay every round; on a real
+    vertex id of v's component.
+
+    Scale shape:
+
+    - only EDGE-INCIDENT vertices iterate — singletons (the overwhelming
+      majority of a near-dup corpus) join back with ``lbl = v`` in one final
+      left join, so every round's shuffle is bounded by the candidate-pair
+      count, never the corpus;
+    - rounds 0..doubling_from-1 are plain min-label propagation (one
+      edge⋈label join + min-groupBy — cheapest for the diameter-2..4
+      chains/cliques near-dup actually produces);
+    - from round ``doubling_from`` POINTER DOUBLING engages: each round also
+      joins labels to themselves (v -> lbl(lbl(v))), so label depth doubles
+      per round and convergence is O(log diameter) — an adversarial
+      boilerplate chain of length 10^6 converges in ~doubling_from +
+      log2(10^6) ≈ 24 rounds instead of 10^6;
+    - the convergence probe is FOLDED into the update job: the min-groupBy
+      carries the previous label alongside the new one, so detecting the
+      fixed point is a filter over the just-persisted result — no extra
+      join job per round.
+
+    Each round is localCheckpoint-ed executor-side (never a driver collect —
+    the mapping is pair-bounded but can be large): that truncates the
+    lineage the pointer-doubling self-join would otherwise double every
+    round, and the probe needs the round materialized anyway. On a real
     cluster a persistent-storage checkpoint or table write replaces this
     (localCheckpoint does not survive executor loss)."""
     e0 = edges.select("a", "b")
     edges_sym = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = vertices.select("v", F.col("v").alias("lbl")).persist()
+    # every endpoint appears as `a` in the symmetric list, so this is the
+    # full edge-incident vertex set. Each round ends in an EAGER
+    # localCheckpoint: the pointer-doubling self-join would otherwise double
+    # the logical plan every round (exponential Catalyst analysis time) —
+    # persist() truncates execution but not the plan; checkpointing does
+    # both, and the fixed-point probe needs the round materialized anyway.
+    labels = (
+        edges_sym.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
     try:
-        for _ in range(max_iters):
+        for it in range(max_iters):
+            own = labels.select("v", "lbl", F.lit(True).alias("_own"))
             msgs = (
                 edges_sym.alias("e")
                 .join(labels.alias("l"), F.col("e.a") == F.col("l.v"))
-                .select(F.col("e.b").alias("v"), F.col("l.lbl").alias("lbl"))
+                .select(
+                    F.col("e.b").alias("v"),
+                    F.col("l.lbl").alias("lbl"),
+                    F.lit(False).alias("_own"),
+                )
             )
+            cand = own.unionByName(msgs)
+            if it >= doubling_from:
+                # pointer doubling: v adopts its label's label. lbl values
+                # are always edge-incident vertex ids, so the lookup join
+                # stays within the iterating set.
+                shortcut = (
+                    labels.alias("l1")
+                    .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.v"))
+                    .select(
+                        F.col("l1.v").alias("v"),
+                        F.col("l2.lbl").alias("lbl"),
+                        F.lit(False).alias("_own"),
+                    )
+                )
+                cand = cand.unionByName(shortcut)
             new_labels = (
-                labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
-            ).persist()
-            changed = (
-                labels.alias("o")
-                .join(new_labels.alias("n"), "v")
-                .filter(F.col("o.lbl") != F.col("n.lbl"))
-                .limit(1)
-                .count()
+                cand.groupBy("v")
+                .agg(
+                    F.min("lbl").alias("lbl"),
+                    F.min(F.when(F.col("_own"), F.col("lbl"))).alias("_old"),
+                )
+                .localCheckpoint(eager=True)
             )
-            labels.unpersist()
-            labels = new_labels
+            # labels only ever decrease, so "changed" == "new min < old";
+            # this filter scans the checkpoint the groupBy just materialized
+            # — no second join job per round
+            changed = new_labels.filter(F.col("lbl") < F.col("_old")).limit(1).count()
+            labels = new_labels.select("v", "lbl")
             if changed == 0:
                 break
         else:
-            # never return silently-wrong clusters: a component whose
-            # diameter exceeds the round cap has not converged
+            # never return silently-wrong clusters: not converged
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds "
-                "(component diameter exceeds the cap — raise max_iters or "
-                "switch to pointer-doubling)"
+                "(raise max_iters or lower doubling_from)"
             )
-        return labels.localCheckpoint(eager=True)
+        final = labels
     finally:
         edges_sym.unpersist()
-        labels.unpersist()
+    # singletons never entered the loop: attach them with lbl = v
+    return vertices.select("v").join(final, "v", "left").select(
+        "v", F.coalesce("lbl", "v").alias("lbl")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -149,6 +149,20 @@ def test_dedup_clusters_matches_pairwise_closure(spark):
         assert cluster == exp, (doc, cluster, exp)
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-node path (diameter 199) must converge WELL under the 20-round
+    cap via pointer doubling — plain propagation would need 199 rounds."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
+
+    n = 200
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 2)], "v long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    got = {r.v: r.lbl for r in connected_components(verts, chain).collect()}
+    assert got == {**{v: 1 for v in range(1, n + 1)}, n + 1: n + 1}
+
+
 def test_connected_components_raises_past_round_cap(spark):
     """A component whose diameter exceeds max_iters must raise, never return
     silently-wrong clusters."""
