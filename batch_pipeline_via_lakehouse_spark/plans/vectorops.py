@@ -330,6 +330,7 @@ def kmeans_fit(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: float | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd k-means over an embedding column — the trained-
     centroid path for IVF (ann_ivf_topk's deterministic first-K centroids
@@ -342,6 +343,16 @@ def kmeans_fit(
     mapPartitions+driver-reduce k-means. Assignment is the same argmax-
     by-cosine kernel the IVF query uses. Empty cells keep their previous
     centroid. Init = the k rows with the smallest ids (deterministic).
+
+    ``quantize``: snap each UPDATED centroid component to a 1/quantize grid
+    (floor) after every iteration. Summation order differs between engines
+    (NumPy partial-sum reduce vs SQL row-order avg) by ~1e-13; snapping to a
+    much coarser grid makes the per-iteration drift non-compounding, so an
+    independent SQL replay of Lloyd's reproduces the centroids bit-for-bit
+    (up to an astronomically unlikely flip exactly at a grid boundary) —
+    the property the ann_kmeans_topk oracle relies on. Empty cells are NOT
+    re-snapped (they keep the previous, possibly raw-init, values — the SQL
+    replay's coalesce does the same).
 
     Returns the (k, dim) centroid matrix."""
     import pandas as pd
@@ -389,7 +400,116 @@ def kmeans_fit(
             sums[r.cell] += np.array(r.sums)
         nonempty = counts > 0
         cmat[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if quantize:
+            cmat[nonempty] = np.floor(cmat[nonempty] * quantize) / quantize
     return cmat
+
+
+_KM_K = 8  # trained-codebook cells
+_KM_ITERS = 2  # Lloyd iterations (unrolled in the SQL oracle)
+_KM_Q = 1_000_000  # centroid grid: floor(val * 1e6) / 1e6 after each update
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """DuckDB replay of the distributed Lloyd trainer, unrolled: c0 = the k
+    smallest-id embeddings; per iteration, assign every vector to its
+    argmax-cosine centroid (ties -> lowest cell, = NumPy argmax) and recompute
+    each non-empty cell's centroid as the grid-snapped per-dim mean. The
+    1e-6 grid snap is what makes the two engines' float drift (~1e-13 per
+    sum) non-compounding — see kmeans_fit(quantize=...)."""
+    parts = [
+        f"""comps AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    vn AS (SELECT vec_id, sum(x * x) AS n2 FROM comps GROUP BY vec_id),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (SELECT i.cell, m.dim, m.x AS val FROM init i JOIN comps m USING (vec_id))"""
+    ]
+    for n in range(iters + 1):
+        parts.append(
+            f"""d{n} AS (
+      SELECT m.vec_id, c.cell, sum(m.x * c.val) AS dot, sum(c.val * c.val) AS cn2
+      FROM comps m JOIN c{n} c USING (dim) GROUP BY m.vec_id, c.cell
+    ),
+    a{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dot / greatest(sqrt(d.cn2) * sqrt(v.n2), 1e-300) DESC,
+                          d.cell) AS rn
+        FROM d{n} d JOIN vn v USING (vec_id)
+      ) WHERE rn = 1
+    )"""
+        )
+        if n < iters:
+            parts.append(
+                f"""m{n} AS (
+      SELECT a.cell, m.dim, floor(avg(m.x) * {_KM_Q}) / {_KM_Q} AS val
+      FROM a{n} a JOIN comps m USING (vec_id) GROUP BY a.cell, m.dim
+    ),
+    c{n + 1} AS (
+      SELECT c.cell, c.dim, coalesce(u.val, c.val) AS val
+      FROM c{n} c LEFT JOIN m{n} u USING (cell, dim)
+    )"""
+            )
+    cos = _COS_SQL.format(a="q.embedding", b="e.embedding")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a.vec_id, e.label,
+           CAST(floor(1000 * ({cos})) AS BIGINT) AS cos_m
+    FROM a{iters} a
+    JOIN embeddings e USING (vec_id),
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE a.cell = (SELECT cell FROM a{iters} WHERE vec_id = 0)
+      AND a.vec_id <> 0
+    ORDER BY cos_m DESC, a.vec_id LIMIT 10
+    """
+    )
+
+
+@query("ann_kmeans_topk", oracle=_kmeans_oracle_sql())
+def ann_kmeans_topk(spark, sf_dir) -> DataFrame:
+    """Trained-codebook IVF ANN — the production path ann_ivf_topk's
+    deterministic first-K centroids stand in for: fit k-means (k=8, 2 Lloyd
+    iterations, smallest-id init, 1e-6 centroid grid) with the distributed
+    mapInPandas + driver-reduce trainer, coarse-quantize every vector to its
+    trained cell (scalar pandas UDF over the broadcast codebook — zero
+    shuffle, the ann_ivf_topk shape), then search only the query's cell.
+    The DuckDB oracle replays the full training loop unrolled, so the green
+    row certifies the trained pipeline end-to-end, not just the search."""
+    e = load(spark, sf_dir, "embeddings")
+    cmat = kmeans_fit(spark, e, k=_KM_K, iters=_KM_ITERS, quantize=_KM_Q)
+    cnorm = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-300)
+
+    @pandas_udf("long")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        cos = (m @ cmat.T) / (
+            np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-300)[:, None] * cnorm[None, :]
+        )
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int64))
+
+    assigned = e.select(
+        "vec_id", "label", "embedding", cell_udf(F.col("embedding")).alias("cell")
+    )
+    q = assigned.filter("vec_id = 0").select(
+        F.col("cell").alias("qcell"), F.col("embedding").alias("q_emb")
+    )
+    cos_q = _cosine_expr("q_emb", "embedding")
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.floor(1000 * cos_q).cast("long").alias("cos_m"))
+        .orderBy(F.col("cos_m").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @query(

@@ -41,6 +41,7 @@ HEADLINE = [
     "decontaminate",
     "quality_score",
     "ann_topk",
+    "ann_kmeans_topk",
     "embedding_neardup",
     "ann_lsh_buckets",
     "pack_sequences",
@@ -123,11 +124,19 @@ def main() -> None:
         print(f"# maintenance pass {i}: {r}", file=sys.stderr)
         runs.append((r, dst))
     runs.sort(key=lambda rd: rd[0]["tokens_per_s"])
-    maint, median_dst = runs[len(runs) // 2]
+    maint = runs[len(runs) // 2][0]
 
-    t0 = time.monotonic()
-    cluster(spark, Table.load(median_dst), mode="hilbert", target_bytes=8 * 1024 * 1024)
-    maint["hilbert_s"] = round(time.monotonic() - t0, 2)
+    # Hilbert parity pass: MEDIAN of 3 like everything else (the round-4
+    # single-shot number swung 2.2x with unchanged code — uninterpretable on
+    # this host). The three maintained run dirs are equivalent tables, so
+    # each gets one timed Hilbert re-cluster.
+    hilbert_passes = []
+    for _, dst in runs:
+        t0 = time.monotonic()
+        cluster(spark, Table.load(dst), mode="hilbert", target_bytes=8 * 1024 * 1024)
+        hilbert_passes.append(round(time.monotonic() - t0, 2))
+    maint["hilbert_passes_s"] = hilbert_passes
+    maint["hilbert_s"] = sorted(hilbert_passes)[len(hilbert_passes) // 2]
     maint["hilbert_tokens_per_s"] = round(maint["tokens"] / maint["hilbert_s"], 1)
     maint["all_passes_tokens_per_s"] = [r["tokens_per_s"] for r, _ in runs]
     shutil.rmtree(base, ignore_errors=True)
@@ -136,17 +145,33 @@ def main() -> None:
     print(f"# maintenance (median pass): {maint}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # the driver captures a bounded tail of stdout: the final line must stay
+    # COMPACT (round-4's inline query_passes outgrew the window and arrived
+    # decapitated — "parsed": null). Per-pass detail goes to a file instead.
+    detail_file = os.path.join(".benchmarks", "bench_detail.json")
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(detail_file, "w") as fh:
+        json.dump(
+            {
+                "query_passes": query_passes,
+                "maintenance": maint,
+                "sf": float(sf),
+                "cpus": cpus,
+            },
+            fh,
+            indent=1,
+        )
     result = {
         "metric": "headline query suite + compaction/Z-order maintenance wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "query_passes": query_passes,
         "sf": float(sf),
         "cpus": cpus,
-        "maintenance": maint,
         "maintenance_tokens_per_s": maint["tokens_per_s"],
         "maintenance_sequences_per_s": maint["sequences_per_s"],
+        "hilbert_tokens_per_s": maint["hilbert_tokens_per_s"],
+        "detail_file": detail_file,
     }
     print(json.dumps(result))
     spark.stop()
