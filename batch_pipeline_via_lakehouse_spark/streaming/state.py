@@ -24,9 +24,10 @@ exactly one.
 
 State-schema note: this is state format v2 (three parallel long arrays). v1
 checkpoints (one ``start_ms/last_ms/n`` triple) cannot be decoded under the
-v2 ``stateStructType``; restarting a v1 query against a retained checkpoint
-requires draining it first (stop input, let all sessions time out and emit)
-or discarding the checkpoint.
+v2 ``stateStructType``; ``drain_checkpoint_sessions`` ships the migration:
+it reads a stopped v1 checkpoint's state store offline (Spark's state data
+source) and emits every open session as final, after which the v2 query
+starts on a fresh checkpoint.
 """
 
 from __future__ import annotations
@@ -112,6 +113,61 @@ def make_sessionizer(gap_seconds: int):
             )
 
     return fn
+
+
+def drain_checkpoint_sessions(spark, checkpoint_dir: str) -> DataFrame:
+    """Offline drain of a sessionizer checkpoint — the shipped v1 -> v2
+    state-migration path (v1 single-triple state cannot be decoded under the
+    v2 fragment-set ``stateStructType``): stop the old query, read its
+    checkpoint's state store with Spark's state data source (public API
+    since Spark 4.0), emit every OPEN fragment as a final session row, union
+    that into the session table, then start the new query on a FRESH
+    checkpoint. Works for both v1 state (one ``start_ms/last_ms/n`` triple
+    per key) and v2 state (parallel fragment arrays), so it also serves as a
+    generic end-of-life drain when decommissioning a stream.
+
+    Emitting open fragments as final is exactly what letting the v1 query
+    time everything out would produce (the drain replaces the "stop input
+    and wait for watermark" dance), provided the v1 input is stopped first —
+    events arriving after the drain start new sessions under v2."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    vtype = st.schema["value"].dataType
+    # apply(In)PandasWithState wraps the user state struct in `groupState`
+    # beside the engine's `timeoutTimestamp`; flatMapGroupsWithState-style
+    # sources expose the user struct directly
+    if "groupState" in vtype.fieldNames():
+        state = "value.groupState"
+        vtype = vtype["groupState"].dataType
+    else:
+        state = "value"
+    vfields = set(vtype.fieldNames())
+    if {"starts", "lasts", "ns"} <= vfields:  # v2 fragment-set state
+        frag = F.explode(
+            F.arrays_zip(
+                F.col(f"{state}.starts").alias("s"),
+                F.col(f"{state}.lasts").alias("l"),
+                F.col(f"{state}.ns").alias("n"),
+            )
+        ).alias("f")
+        return (
+            st.filter(F.col(f"{state}.starts").isNotNull())
+            .select(F.col("key.k").alias("k"), frag)
+            .select(
+                "k",
+                F.timestamp_millis(F.col("f.s")).alias("session_start"),
+                F.timestamp_millis(F.col("f.l")).alias("session_end"),
+                F.col("f.n").alias("n_events"),
+            )
+        )
+    return st.filter(F.col(f"{state}.start_ms").isNotNull()).select(
+        # v1 single-open-session state
+        F.col("key.k").alias("k"),
+        F.timestamp_millis(F.col(f"{state}.start_ms")).alias("session_start"),
+        F.timestamp_millis(F.col(f"{state}.last_ms")).alias("session_end"),
+        F.col(f"{state}.n").alias("n_events"),
+    )
 
 
 def sessionize(

@@ -133,3 +133,137 @@ def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
         ("u1", "2026-01-01 09:59:30"): ("2026-01-01 10:00:30", 3),
         ("u3", "2026-01-01 10:00:00"): ("2026-01-01 10:02:00", 3),
     }
+
+
+def test_drain_checkpoint_sessions_v1_to_v2(spark, tmp_path):
+    """The shipped v1 -> v2 migration: run a v1-format sessionizer (single
+    start_ms/last_ms/n triple state) that leaves sessions OPEN in its
+    checkpoint, drain that checkpoint offline with the state data source,
+    then continue under the v2 operator on a fresh checkpoint — the union
+    must equal all sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from batch_pipeline_via_lakehouse_spark.streaming.state import (
+        drain_checkpoint_sessions,
+        sessionize,
+    )
+
+    # --- minimal v1 operator: one open (start, last, n) triple, no emission
+    # until timeout (its open state is what the drain must recover) ---------
+    def v1_fn(key, pdfs, state: GroupState):
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        for p in pdfs:
+            for t in p["ts"]:
+                ms = int(t.value // 1_000_000)
+                start = ms if start is None else min(start, ms)
+                last = ms if last is None else max(last, ms)
+                n += 1
+        state.update((start, last, n))
+        return
+        yield  # pragma: no cover — generator with no emission
+
+    src1 = tmp_path / "in_v1"
+    src1.mkdir()
+    _write(src1 / "a.json", [
+        ("2026-01-01T09:00:00", "u1"),
+        ("2026-01-01T09:00:30", "u1"),
+        ("2026-01-01T09:10:00", "u2"),
+    ])
+    ckpt1 = tmp_path / "ckpt_v1"
+    stream = spark.readStream.schema(IN_SCHEMA).json(str(src1))
+    events = stream.selectExpr("cast(user as string) as k", "ts").withWatermark(
+        "ts", "0 seconds"
+    )
+    q = (
+        events.groupBy("k")
+        .applyInPandasWithState(
+            v1_fn,
+            outputStructType="k string, session_start timestamp, "
+            "session_end timestamp, n_events long",
+            stateStructType="start_ms long, last_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_v1"))
+        .option("checkpointLocation", str(ckpt1))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    drained = {
+        (r.k, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in drain_checkpoint_sessions(spark, str(ckpt1)).collect()
+    }
+    assert drained == {
+        ("u1", "2026-01-01 09:00:00"): ("2026-01-01 09:00:30", 2),
+        ("u2", "2026-01-01 09:10:00"): ("2026-01-01 09:10:00", 1),
+    }
+
+    # --- v2 continues on a FRESH checkpoint; post-migration events form new
+    # sessions under the fragment-set operator ------------------------------
+    src2 = tmp_path / "in_v2"
+    src2.mkdir()
+    _write(src2 / "b.json", [
+        ("2026-01-01T09:20:00", "u1"),
+        ("2026-01-01T09:20:20", "u1"),
+        ("2026-01-01T11:00:00", "u9"),  # watermark pusher: closes u1's session
+    ])
+    got = _run(spark, src2, tmp_path / "out_v2", tmp_path / "ckpt_v2")
+    assert got[("u1", "2026-01-01 09:20:00")] == ("2026-01-01 09:20:20", 2)
+
+    # union = complete session history across the migration
+    assert set(drained) | set(got) >= {
+        ("u1", "2026-01-01 09:00:00"),
+        ("u2", "2026-01-01 09:10:00"),
+        ("u1", "2026-01-01 09:20:00"),
+    }
+
+
+def test_drain_checkpoint_sessions_v2_state(spark, tmp_path):
+    """The same drain utility decodes v2 fragment-set state — the generic
+    end-of-life drain: every open fragment comes out as a final session."""
+    from batch_pipeline_via_lakehouse_spark.streaming.state import (
+        drain_checkpoint_sessions,
+    )
+
+    src = tmp_path / "in_d2"
+    src.mkdir()
+    # u3 holds TWO open fragments (120s apart > 60s gap); nothing closes
+    # (watermark stays behind with lateness far ahead of event span)
+    _write(src / "a.json", [
+        ("2026-01-01T10:00:00", "u3"),
+        ("2026-01-01T10:02:00", "u3"),
+    ])
+    out, ckpt = tmp_path / "out_d2", tmp_path / "ckpt_d2"
+    stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+    q = (
+        sessionize_lat(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = {
+        (r.k, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in drain_checkpoint_sessions(spark, str(ckpt)).collect()
+    }
+    assert drained == {
+        ("u3", "2026-01-01 10:00:00"): ("2026-01-01 10:00:00", 1),
+        ("u3", "2026-01-01 10:02:00"): ("2026-01-01 10:02:00", 1),
+    }
+
+
+def sessionize_lat(stream):
+    from batch_pipeline_via_lakehouse_spark.streaming.state import sessionize
+
+    return sessionize(
+        stream, key_col="user", ts_col="ts", gap_seconds=60, lateness_seconds=3600
+    )
