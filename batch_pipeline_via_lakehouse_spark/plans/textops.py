@@ -9,6 +9,17 @@ sketch is md5-derived so the DuckDB oracles match bit-for-bit.
 Scale shapes: shingle inverted-index joins shuffle on the shingle (fine —
 shingles are high-cardinality); MinHash-LSH turns the O(n^2) pair problem
 into a band-bucket equi-join, which is the 10^12-row path.
+
+Measured anti-lesson (do not "optimize" minhash/simhash into higher-order
+array lambdas): rewriting the explode + partial-agg sketches as
+array_min(transform(...)) / size(filter(...)) projections made them 2-5x
+SLOWER at sf0.1 (minhash_lsh_pairs 2.1s -> 11s, simhash 0.54s -> 1.05s).
+Higher-order-function lambdas evaluate interpreted, outside whole-stage
+codegen, while explode + hash-aggregate is fully codegen'd and its map-side
+combine already collapses the shuffle to one row per doc — the exchange the
+HOF form removes was never the cost. HOF projections win only when the
+per-row arrays are tiny and fixed (langid's 5-stopword filters), not for
+md5-per-shingle work.
 """
 
 from __future__ import annotations
