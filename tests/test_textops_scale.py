@@ -28,8 +28,10 @@ def test_lsh_plan_has_single_grams_aggregation(spark):
     df = minhash_lsh_pairs(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # each evaluation of the signature aggregation shows up as one Aggregate
-    # over the grams explode; count the minhash salt expressions ("0:" salt)
-    n_sig_aggs = plan.count("0:")
+    # over the grams explode; count the m0 permutation's affine coefficient
+    from batch_pipeline_via_lakehouse_spark.plans.textops import _MH_COEF
+
+    n_sig_aggs = plan.count(str(_MH_COEF[0][0]))
     assert n_sig_aggs == 1, f"signature aggregation appears {n_sig_aggs}x in plan:\n{plan[:4000]}"
     # and there is no join anywhere: pairs come from in-bucket expansion
     assert "Join" not in plan
