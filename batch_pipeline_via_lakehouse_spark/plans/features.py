@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .registry import load, query
+from .registry import load, load_wide, query
 
 _FEATURE_SCHEMA = (
     "event_id long, user_id long, value_return_m long, ma5_c long, cummax_c long"
@@ -63,7 +63,14 @@ def _feature_bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     (integer-valued float64 prefix sums are exact below 2^53, so
     csum[p] - csum[p-5] equals the windowed sum bit-for-bit); cummax is
     order-identical. Measured ~50x faster than the per-group apply on
-    100k rows / 1500 users."""
+    100k rows / 1500 users.
+
+    Input contract (the price of the cumsum-difference form): each user's
+    TOTAL absolute cents must stay below 2^53 — a weaker bound than the
+    reference rolling sum, whose accumulator is bounded by any 5-row window.
+    At |value| <= 10^9 that allows ~90 trillion events per user before the
+    prefix sum loses integer exactness; a corpus beyond that bound must use
+    the windowed rolling sum instead."""
     pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
     g = pdf.groupby("user_id", sort=False)
     v = pdf["value"]
@@ -108,8 +115,14 @@ def grouped_features(spark, sf_dir) -> DataFrame:
     bottleneck (measured 2x end-to-end here, 50x kernel-side). Inside each
     bucket the per-user logic runs on C-level groupby kernels
     (_feature_bucket_fn), float-identical to the reference per-user kernel.
-    Oracled against the equivalent SQL windows."""
-    e = load(spark, sf_dir, "events")
+    Oracled against the equivalent SQL windows.
+
+    Only the four columns the kernel reads cross the shuffle and the Arrow
+    boundary: applyInPandas ships every input column (Spark cannot see into
+    the Python function), so without the explicit select the events table's
+    string payload (event_type, props) would be shuffled and transposed to
+    Arrow for nothing (guide §2.3/§4.1)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     n_bkt = spark.sparkContext.defaultParallelism * 2
     return (
         e.withColumn("_bkt", F.pmod(F.hash("user_id"), F.lit(n_bkt)))
@@ -213,8 +226,9 @@ def ema_features(spark, sf_dir) -> DataFrame:
     Bucketed grouped-map like grouped_features: hash(user_id) buckets bound
     the number of Arrow batches / UDF invocations; inside each bucket the
     recurrences run on pandas' grouped Cython kernels (_ema_bucket_fn),
-    bit-identical to the per-user kernel."""
-    e = load(spark, sf_dir, "events")
+    bit-identical to the per-user kernel. As there, only the four columns
+    the kernel reads are shuffled/Arrow-shipped."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     n_bkt = spark.sparkContext.defaultParallelism * 2
     return (
         e.withColumn("_bkt", F.pmod(F.hash("user_id"), F.lit(n_bkt)))
@@ -421,8 +435,10 @@ def multimodal_decode(spark, sf_dir) -> DataFrame:
     decode via two mapInPandas stages (synthesize -> decode). The decode
     parses the real BMP/WAV little-endian header fields — no codecs needed —
     and cross-checks the declared file size against the payload length; the
-    oracle recomputes every field from doc_id arithmetic."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    oracle recomputes every field from doc_id arithmetic. The scan is
+    widened so the synth/decode mapInPandas stages parallelize even over a
+    single-row-group input."""
+    d = load_wide(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(_synth_payloads, schema="doc_id long, payload binary")
     return payloads.mapInPandas(
         _decode_payloads,
@@ -468,8 +484,11 @@ def maintenance_compact_zorder(spark, sf_dir) -> DataFrame:
     from ..operators.compaction import compact
     from ..table import Table
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     # deterministic 'tokenization': word -> md5-int % 50257 (vectorized, JVM)
+    # (wide scan: the per-word md5 projection runs under append()'s
+    # repartition, so without it the whole tokenize would execute inside the
+    # single-row-group scan task)
     tok = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .registry import load, query
+from .registry import load, load_wide, query  # noqa: F401 — load kept for callers
 
 _CTX = 512  # context window length (tokens) for packing
 
@@ -176,7 +176,7 @@ def pack_sequences(spark, sf_dir) -> DataFrame:
     Output is the per-bin roster (doc count, token count, order-insensitive
     md5-xor of doc ids), which pins the packing decision exactly without
     materializing token arrays."""
-    d = load(spark, sf_dir, "documents").select(
+    d = load_wide(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").cast("string").alias("source"), _ntok_col().alias("n_tok")
     )
     pos = _with_start_offsets(d).withColumnRenamed("_start", "start_off")
@@ -399,7 +399,7 @@ def pack_windows(spark, sf_dir) -> DataFrame:
     pack_token_windows materializer, and emit md5 of each complete
     {_CTX}-token window. The DuckDB oracle re-derives every window from the
     raw text single-threaded — exact parity of the distributed reassembly."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.col("source").cast("string").alias("source"),

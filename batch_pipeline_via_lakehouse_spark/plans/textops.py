@@ -35,7 +35,7 @@ from ..functions.text import (
     word_3grams_expr,
     words_col,
 )
-from .registry import load, query
+from .registry import load, load_wide, query
 
 # --------------------------------------------------------------------------
 
@@ -240,33 +240,59 @@ _DF_CAP = 64  # shingle document-frequency cap: a shingle in > _DF_CAP docs is
 )
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact near-dup pairs: word-3gram Jaccard >= 0.8 via a shingle
-    inverted-index equi-join (no O(n^2) cross join; candidates only where a
-    shingle is shared — the shuffle key is the shingle). Shingles with
-    document frequency > _DF_CAP are dropped before the self-join (both in
-    the numerator and the per-doc sizes, mirrored in the oracle): one hot
-    boilerplate shingle shared by k docs would otherwise emit k^2 candidate
-    rows on a single shuffle key."""
-    d = load(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    inverted index (no O(n^2) cross join; candidates only where a shingle is
+    shared — the shuffle key is the shingle). Shingles with document
+    frequency > _DF_CAP are dropped (both in the numerator and the per-doc
+    sizes, mirrored in the oracle): one hot boilerplate shingle shared by k
+    docs would otherwise emit k^2 candidate rows on a single shuffle key.
 
-    grams = (
-        d.select("doc_id", words_col().alias("w"))
-        .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("df") <= _DF_CAP)
-        .drop("df")
+    Shuffle-light shape (the minhash_lsh_pairs pattern downstream): the
+    exploded gram stream is aggregated to per-gram document frequencies
+    FIRST (hash aggregate with map-side partials — the shuffle carries one
+    row per distinct gram per map partition, never the gram stream), the
+    df-capped survivor grams then rebuild posting lists from a second pass
+    over the gram stream (AQE turns the df join into a broadcast when the
+    survivor set is small), and pair candidates expand from each sorted
+    posting list with SQL lambdas. The former form — a per-gram WINDOW count
+    (full gram-stream shuffle + sort) followed by a posting self-join —
+    re-evaluated the full scan+split+explode subtree four times AND shuffled
+    the whole gram stream three times. The survivor posting table is
+    localCheckpoint-ed because two downstream branches (per-doc sizes, pair
+    intersections) both read it; sizes (one row per doc) is checkpointed too
+    and broadcast into the final joins."""
+    d = load_wide(spark, sf_dir, "documents")
+    grams = d.select("doc_id", words_col().alias("w")).select(
+        "doc_id", F.explode(word_3grams_expr("w")).alias("g")
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
+    df_ok = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= _DF_CAP
+    )
+    posting = (
+        grams.join(df_ok.select("g"), "g")
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        posting.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))"
+    )
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        posting.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
     return (
-        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(F.broadcast(sizes.alias("s1")), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes.alias("s2")), F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= 0.8)
         .select("d1", "d2", F.floor(1000.0 * jac).cast("long").alias("jaccard_m"))
     )
@@ -320,8 +346,10 @@ def minhash_signature(spark, sf_dir) -> DataFrame:
     affine permutations (_MH_COEF) -> per-doc min. One shuffle (groupBy
     doc_id, map-side combined to one row per doc per partition); the
     affine family does 8x less hashing than k salted md5s — at 10^12
-    shingles the md5 evaluations ARE the operator's cost."""
-    d = load(spark, sf_dir, "documents")
+    shingles the md5 evaluations ARE the operator's cost. The scan is
+    widened (load_wide) so that per-shingle hashing parallelizes even when
+    the input is a single row group."""
+    d = load_wide(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", words_col().alias("w"))
         .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
@@ -475,7 +503,7 @@ def decontaminate(spark, sf_dir) -> DataFrame:
     documents, not the corpus), so it BROADCASTS — the corpus-side gram
     stream is filtered map-side and only the surviving hits shuffle into the
     per-doc count. The corpus is never re-sharded on the shingle."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     grams = d.select("doc_id", words_col().alias("w")).select(
         "doc_id", F.explode(word_3grams_expr("w")).alias("g")
     )
@@ -554,7 +582,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iters: int = _CC_MAX_ITERS,
-    doubling_from: int = 4,
+    doubling_from: int = 2,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list:
     ``vertices (v)``, ``edges (a, b)`` -> ``(v, lbl)`` where lbl is the MIN
@@ -566,14 +594,19 @@ def connected_components(
       majority of a near-dup corpus) join back with ``lbl = v`` in one final
       left join, so every round's shuffle is bounded by the candidate-pair
       count, never the corpus;
+    - the FIRST propagation round is fused into initialization: instead of
+      labels(v) = v followed by a full round, the init groupBy computes
+      lbl(v) = least(v, min(neighbors)) directly — same shuffle as the old
+      distinct, one fewer round of fixed per-round cost;
     - rounds 0..doubling_from-1 are plain min-label propagation (one
-      edge⋈label join + min-groupBy — cheapest for the diameter-2..4
-      chains/cliques near-dup actually produces);
-    - from round ``doubling_from`` POINTER DOUBLING engages: each round also
-      joins labels to themselves (v -> lbl(lbl(v))), so label depth doubles
-      per round and convergence is O(log diameter) — an adversarial
-      boilerplate chain of length 10^6 converges in ~doubling_from +
-      log2(10^6) ≈ 24 rounds instead of 10^6;
+      edge⋈label join + min-groupBy);
+    - from round ``doubling_from`` (default 2 — each round's cost is fixed
+      overhead-dominated at any scale where the label table fits a few
+      shuffle partitions, so fewer-but-slightly-fatter rounds win) POINTER
+      DOUBLING engages: each round also joins labels to themselves
+      (v -> lbl(lbl(v))), so label depth doubles per round and convergence
+      is O(log diameter) — an adversarial boilerplate chain of length 10^6
+      converges in ~doubling_from + log2(10^6) ≈ 22 rounds instead of 10^6;
     - the convergence probe is FOLDED into the update job: the min-groupBy
       carries the previous label alongside the new one, so detecting the
       fixed point is a filter over the just-persisted result — no extra
@@ -582,27 +615,59 @@ def connected_components(
     Each round is localCheckpoint-ed executor-side (never a driver collect —
     the mapping is pair-bounded but can be large): that truncates the
     lineage the pointer-doubling self-join would otherwise double every
-    round, and the probe needs the round materialized anyway. On a real
+    round, and the probe needs the round materialized anyway. Once a round's
+    checkpoint is materialized, the PREVIOUS round's checkpointed RDD is
+    explicitly unpersisted (found via the context's persistent-RDD registry —
+    the checkpointed RDD is not reachable as a Python attribute), so executor
+    storage holds at most two label sets instead of max_iters. On a real
     cluster a persistent-storage checkpoint or table write replaces this
     (localCheckpoint does not survive executor loss)."""
+    # symmetrize via ONE explode instead of a two-branch union: the union
+    # form evaluated the (expensive) upstream pair pipeline once per branch
+    # and doubled the partition count every downstream stage had to schedule
     e0 = edges.select("a", "b")
-    edges_sym = e0.unionByName(
-        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    edges_sym = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
     # every endpoint appears as `a` in the symmetric list, so this is the
     # full edge-incident vertex set. Each round ends in an EAGER
     # localCheckpoint: the pointer-doubling self-join would otherwise double
     # the logical plan every round (exponential Catalyst analysis time) —
     # persist() truncates execution but not the plan; checkpointing does
     # both, and the fixed-point probe needs the round materialized anyway.
+    def _ckpt_rdd(df: DataFrame):
+        """The checkpointed java RDD behind a just-localCheckpoint-ed
+        DataFrame (its analyzed plan is a LogicalRDD), for explicit
+        unpersist once the next round has materialized."""
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001 — plan shape changed; GC will clean
+            return None
+
     labels = (
-        edges_sym.select(F.col("a").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
+        edges_sym.groupBy(F.col("a").alias("v"))
+        .agg(F.min("b").alias("_mn"))
+        .select("v", F.least(F.col("v"), F.col("_mn")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    prev_rdd = _ckpt_rdd(labels)
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_CC_DEBUG") == "1"
     try:
         for it in range(max_iters):
+            _t0 = _time.monotonic()
             own = labels.select("v", "lbl", F.lit(True).alias("_own"))
             msgs = (
                 edges_sym.alias("e")
@@ -615,32 +680,64 @@ def connected_components(
             )
             cand = own.unionByName(msgs)
             if it >= doubling_from:
-                # pointer doubling: v adopts its label's label. lbl values
-                # are always edge-incident vertex ids, so the lookup join
-                # stays within the iterating set.
-                shortcut = (
+                # pointer doubling, TWO jumps per round: v adopts
+                # lbl(lbl(v)) and lbl(lbl(lbl(v))) — label depth triples per
+                # round (log3 convergence) for two extra joins over the tiny
+                # label table. lbl values are always edge-incident vertex
+                # ids, so the lookup joins stay within the iterating set.
+                jump1 = (
                     labels.alias("l1")
                     .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.v"))
                     .select(
                         F.col("l1.v").alias("v"),
                         F.col("l2.lbl").alias("lbl"),
-                        F.lit(False).alias("_own"),
                     )
                 )
-                cand = cand.unionByName(shortcut)
+                jump2 = (
+                    jump1.alias("j")
+                    .join(labels.alias("l3"), F.col("j.lbl") == F.col("l3.v"))
+                    .select(
+                        F.col("j.v").alias("v"),
+                        F.col("l3.lbl").alias("lbl"),
+                    )
+                )
+                cand = cand.unionByName(
+                    jump1.withColumn("_own", F.lit(False))
+                ).unionByName(jump2.withColumn("_own", F.lit(False)))
+            from pyspark.sql import Observation
+
+            obs = Observation(f"cc-changed-{it}")
+            # labels only ever decrease, so "changed" == "any new min < old".
+            # The probe is an OBSERVED metric computed inside the same job
+            # that materializes the round's checkpoint — zero extra jobs or
+            # scans per round (formerly a separate filter+count job).
             new_labels = (
                 cand.groupBy("v")
                 .agg(
                     F.min("lbl").alias("lbl"),
                     F.min(F.when(F.col("_own"), F.col("lbl"))).alias("_old"),
                 )
+                .observe(
+                    obs,
+                    F.max(
+                        F.when(F.col("lbl") < F.col("_old"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
                 .localCheckpoint(eager=True)
             )
-            # labels only ever decrease, so "changed" == "new min < old";
-            # this filter scans the checkpoint the groupBy just materialized
-            # — no second join job per round
-            changed = new_labels.filter(F.col("lbl") < F.col("_old")).limit(1).count()
+            # the new round is materialized: the previous round's
+            # checkpointed RDD is no longer referenced by any future plan —
+            # free its executor storage now instead of waiting for JVM GC
+            if prev_rdd is not None:
+                prev_rdd.unpersist(False)
+            prev_rdd = _ckpt_rdd(new_labels)
+            changed = obs.get["changed"] or 0
             labels = new_labels.select("v", "lbl")
+            if _dbg:
+                print(
+                    f"# cc round {it}: {_time.monotonic() - _t0:.2f}s changed={changed}",
+                    file=_sys.stderr,
+                )
             if changed == 0:
                 break
         else:
@@ -690,7 +787,7 @@ def _simhash_sql() -> str:
 def simhash(spark, sf_dir) -> DataFrame:
     """SimHash (16-bit — see _SIMHASH_BITS) per document: word-hash bit
     votes, sign-aggregated — one groupBy, all JVM expressions."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(words_col()).alias("word"))
     hashed = words.select("doc_id", md5_int(F.col("word")).alias("h"))
     bit_aggs = [

@@ -20,10 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .registry import load, query
+from .registry import load, load_wide, query
 
 _DIM = 64
 _PLANES = 8
+
+
+def _norm2_expr(a: str) -> F.Column:
+    """Squared L2 norm with the same strict index-order fold as _cosine_expr
+    (bit-identical wherever it is evaluated — per pair or hoisted per
+    vector)."""
+    return F.expr(f"aggregate({a}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))")
+
+
+def _dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+        " 0D, (s, v) -> s + v)"
+    )
 
 
 def _cosine_expr(a: str, b: str) -> F.Column:
@@ -32,10 +46,9 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     The norm product is NULLIF-guarded (mirrored in _COS_SQL): a zero-norm
     vector yields NULL cosine instead of NaN — which would abort the
     floor(...)::long casts downstream under ANSI mode."""
-    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v)"
     na = f"aggregate({a}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
     nb = f"aggregate({b}, 0D, (s, v) -> s + cast(v AS double) * cast(v AS double))"
-    return F.expr(f"({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0D)")
+    return _dot_expr(a, b) / F.expr(f"nullif(sqrt({na}) * sqrt({nb}), 0D)")
 
 
 _COS_SQL = (
@@ -92,7 +105,7 @@ def ann_cosine_scores(spark, sf_dir) -> DataFrame:
     """Brute-force cosine against a query vector (vec_id=0), thresholded.
     The query vector is a 1-row broadcast cross join — the canonical
     'score all vectors' plan."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_wide(spark, sf_dir, "embeddings")
     q = F.broadcast(e.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
     cos = _cosine_expr("q_emb", "embedding")
     return (
@@ -117,7 +130,7 @@ def ann_cosine_scores(spark, sf_dir) -> DataFrame:
 def ann_topk(spark, sf_dir) -> DataFrame:
     """Brute-force top-k (k=20) by cosine — TakeOrderedAndProject, no global
     sort materialization. Deterministic tiebreak on vec_id."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_wide(spark, sf_dir, "embeddings")
     q = F.broadcast(e.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
     cos = _cosine_expr("q_emb", "embedding")
     return (
@@ -143,9 +156,26 @@ _ND_CAP = 128
 def neardup_pairs(e: DataFrame, threshold: float = 0.35, cap: int = _ND_CAP) -> DataFrame:
     """Banded-LSH embedding near-dup over any (vec_id, label, embedding)
     DataFrame: signature once per vector (one NumPy matmul per Arrow batch),
-    band-explode, capped in-bucket candidate join, then exact cosine on the
-    deduped candidates only. One hot label or bucket can no longer go
-    quadratic: bucket size is capped, so candidates <= #buckets * cap^2."""
+    band-explode, capped in-bucket candidate expansion, then exact cosine on
+    the deduped candidates only. One hot label or bucket can no longer go
+    quadratic: bucket size is capped, so candidates <= #buckets * cap^2.
+
+    Single-pass shape (the minhash_lsh_pairs pattern): buckets come from ONE
+    groupBy over the signature stream — each bucket's sorted member list
+    expands to i<j pairs with SQL lambdas. The former bucket SELF-join
+    evaluated the signature pandas UDF (and the scan under it) twice.
+
+    The exact-cosine stage dominates at high candidate counts (cap^2-bounded
+    per bucket, but millions of pairs on fat-bucket data), so: the bucket
+    table is re-widened before the pair explode (AQE coalesces the tiny
+    bucket aggregate to ONE partition, which would run the cap^2 expansion
+    single-task); the squared norms are HOISTED per vector; and the per-pair
+    dot product runs as a vectorized NumPy pandas UDF that accumulates
+    strictly in index order — bit-identical to the JVM aggregate(zip_with)
+    fold (the ann_ivf_topk equivalence), asserted in
+    tests/test_vectorops_scale.py. The UDF is marked non-deterministic so
+    the optimizer cannot duplicate it below the threshold filter
+    (guide §4.4)."""
     w = _hyperplanes(_ND_PLANES)
 
     wi = w.astype(np.int64)
@@ -176,27 +206,54 @@ def neardup_pairs(e: DataFrame, threshold: float = 0.35, cap: int = _ND_CAP) -> 
             )
         ).alias("bs"),
     ).select("vec_id", "label", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    bucket = Window.partitionBy("label", "band", "sig")
-    ok = (
-        banded.withColumn("_cnt", F.count(F.lit(1)).over(bucket))
-        .filter(F.col("_cnt") <= cap)
-        .drop("_cnt")
+    buckets = (
+        banded.groupBy("label", "band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
+        .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS v1, y AS v2))))"
     )
     cand = (
-        ok.alias("a")
-        .join(ok.alias("b"), on=["label", "band", "sig"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.v1").alias("v1"), F.col("p.v2").alias("v2"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb_b"))
-    cos = _cosine_expr("emb_a", "emb_b")
+    ea = e.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb_a"),
+        _norm2_expr("embedding").alias("_n2a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb_b"),
+        _norm2_expr("embedding").alias("_n2b"),
+    )
+
+    @pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma))
+        # strict index-order accumulation == aggregate(zip_with(...)) fold
+        for d in range(ma.shape[1]):
+            acc += ma[:, d] * mb[:, d]
+        return pd.Series(acc)
+
+    dot_nd = dot_udf.asNondeterministic()
+    cos = dot_nd(F.col("emb_a"), F.col("emb_b")) / F.expr(
+        "nullif(sqrt(_n2a) * sqrt(_n2b), 0D)"
+    )
     return (
         cand.join(ea, "v1")
         .join(eb, "v2")
-        .filter(cos >= threshold)
-        .select("v1", "v2", F.floor(1000 * cos).cast("long").alias("cos_m"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("v1", "v2", F.floor(1000 * F.col("_cos")).cast("long").alias("cos_m"))
     )
 
 
@@ -236,7 +293,7 @@ def embedding_neardup(spark, sf_dir) -> DataFrame:
     above _ND_CAP members are dropped as non-discriminative, and the exact
     cosine runs only on surviving candidate pairs. The md5-derived planes
     make the DuckDB oracle reproduce the identical bucketing."""
-    return neardup_pairs(load(spark, sf_dir, "embeddings"))
+    return neardup_pairs(load_wide(spark, sf_dir, "embeddings"))
 
 
 _IVF_K = 8  # coarse cells; centroids = embeddings of vec_id 0.._IVF_K-1
@@ -277,6 +334,8 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     semantics match the JVM `aggregate` fold bit-for-bit: dot products and
     norms accumulate strictly in index order (one vectorized add per dim),
     so the cell decision is identical to the SQL form's."""
+    # plain load: every pass here is a KB-scale matmul + driver reduce; an
+    # extra exchange per Lloyd pass costs more than the 1-task compute saves
     e = load(spark, sf_dir, "embeddings")
     cent = sorted(
         (r.cid, r.cemb)
@@ -483,7 +542,18 @@ def ann_kmeans_topk(spark, sf_dir) -> DataFrame:
     trained cell (scalar pandas UDF over the broadcast codebook — zero
     shuffle, the ann_ivf_topk shape), then search only the query's cell.
     The DuckDB oracle replays the full training loop unrolled, so the green
-    row certifies the trained pipeline end-to-end, not just the search."""
+    row certifies the trained pipeline end-to-end, not just the search.
+    Uses the plain (narrow) load: each Lloyd pass is a KB-scale matmul, so
+    widening the scan adds a shuffle per pass for no compute win.
+
+    Accepted residual risk: the 1e-6 centroid grid makes the CENTROIDS
+    bit-identical across engines, but the per-vector assignment cosine is
+    still a raw float (NumPy BLAS matmul here, per-dim GROUP BY sum in the
+    oracle); a vector whose top-two cells tie within ~1e-13 of each other
+    could argmax differently per engine. With synthetic unit-scale vectors
+    the nearest observed top-two margin is orders of magnitude wider, so the
+    flake probability is negligible but not zero — quantizing the assignment
+    cosine too would close it at the cost of an extra pass."""
     e = load(spark, sf_dir, "embeddings")
     cmat = kmeans_fit(spark, e, k=_KM_K, iters=_KM_ITERS, quantize=_KM_Q)
     cnorm = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-300)
@@ -532,7 +602,9 @@ def ann_kmeans_topk(spark, sf_dir) -> DataFrame:
 def ann_lsh_buckets(spark, sf_dir) -> DataFrame:
     """Random-hyperplane LSH bucket per vector — the ANN scale path: bucket
     once (one NumPy matmul per Arrow batch), then search within buckets.
-    Hyperplanes are md5-derived so the SQL oracle reproduces them exactly."""
+    Hyperplanes are md5-derived so the SQL oracle reproduces them exactly.
+    Plain load: the projection is one light matmul per batch — widening the
+    scan would add an exchange that costs more than the compute."""
     w = _hyperplanes()
 
     wi = w.astype(np.int64)

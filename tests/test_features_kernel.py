@@ -105,10 +105,20 @@ def test_ema_bucket_kernel_matches_per_user_kernel():
 
 
 @pytest.mark.parametrize("n_bkt", [1, 7])
-def test_bucketing_is_a_partition_of_users(n_bkt):
+def test_bucketing_is_a_partition_of_users(n_bkt, spark):
     # hash-bucket partitioning must keep every user whole in one bucket —
-    # splitting a user across buckets would corrupt shift/rolling state
+    # splitting a user across buckets would corrupt shift/rolling state.
+    # Asserted on the REAL Spark-side column the queries build
+    # (pmod(hash(user_id), n)), not a pandas stand-in hash.
+    from pyspark.sql import functions as F
+
     pdf = _mixed_frame(seed=3)
-    bkt = pd.util.hash_pandas_object(pdf["user_id"], index=False) % n_bkt
-    per_user_buckets = pdf.assign(_b=bkt).groupby("user_id")["_b"].nunique()
-    assert (per_user_buckets == 1).all()
+    sdf = spark.createDataFrame(pdf[["user_id", "event_id"]])
+    per_user = (
+        sdf.withColumn("_bkt", F.pmod(F.hash("user_id"), F.lit(n_bkt)))
+        .groupBy("user_id")
+        .agg(F.countDistinct("_bkt").alias("nb"), F.min("_bkt").alias("b0"))
+        .collect()
+    )
+    assert all(r.nb == 1 for r in per_user)
+    assert all(0 <= r.b0 < n_bkt for r in per_user)

@@ -238,3 +238,24 @@ def test_gram_pipelines_survive_short_docs(spark, tmp_path):
     sig = minhash_signature(spark, sf).collect()  # short docs: no gram rows
     assert {r.doc_id for r in sig} == {0, 3}
     assert ngram_jaccard_pairs(spark, sf).count() >= 0  # runs clean
+
+
+def test_connected_components_unpersists_round_checkpoints(spark):
+    """Executor storage must hold a BOUNDED number of label sets: each
+    round's localCheckpoint is explicitly unpersisted once the next round
+    materializes, so a long-diameter run cannot accumulate max_iters
+    checkpointed RDDs (ADVICE r05)."""
+    from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
+
+    sc = spark.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    n = 120  # long chain -> many rounds
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "v long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "a long, b long")
+    got = connected_components(verts, chain)
+    assert got.filter("lbl <> 1").count() == 0
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    new = after - before
+    # the final round's checkpoint (and at most the in-flight previous one)
+    # may remain; a leak would leave one RDD per round (>= 7 for n=120)
+    assert len(new) <= 3, f"leaked {len(new)} persistent RDDs: {sorted(new)}"

@@ -141,3 +141,53 @@ def test_cosine_survives_zero_norm_vectors(spark):
         .collect()
     }
     assert out[1] is None and out[2] == 1000  # no ANSI abort, NULL for zero-norm
+
+
+def test_numpy_dot_fold_matches_jvm_aggregate_bitwise(spark):
+    """The neardup cosine stage computes the pair dot product in a NumPy
+    pandas UDF that accumulates strictly in index order; that must equal the
+    JVM aggregate(zip_with(...)) fold BIT-FOR-BIT (same binary64 adds in the
+    same order), or floor(1000*cos) could flip at a boundary. Adversarial
+    magnitudes (1e10 vs 1e-10 mixes) make any re-association visible."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from batch_pipeline_via_lakehouse_spark.plans.vectorops import _dot_expr
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        scale = 10.0 ** rng.integers(-10, 10, size=64)
+        a = (rng.standard_normal(64) * scale).astype(np.float32)
+        b = (rng.standard_normal(64) * scale[::-1]).astype(np.float32)
+        rows.append((i, [float(x) for x in a], [float(x) for x in b]))
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+
+    @pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma))
+        for d in range(ma.shape[1]):
+            acc += ma[:, d] * mb[:, d]
+        return pd.Series(acc)
+
+    got = (
+        df.select("i", _dot_expr("a", "b").alias("jvm"), dot_udf("a", "b").alias("np"))
+        .collect()
+    )
+    for r in got:
+        assert struct.pack("<d", r.jvm) == struct.pack("<d", r.np), (r.i, r.jvm, r.np)
+
+
+def test_neardup_candidate_stage_evaluates_signature_once(spark):
+    """The banded-LSH candidate generation must aggregate the signature
+    stream ONCE (bucket groupBy + lambda pair expansion), never via a bucket
+    self-join that evaluates the signature pandas UDF per join side."""
+    base = np.ones(64, dtype=np.float64)
+    rows = [(i, "L", [float(x) for x in base + i * 1e-6]) for i in range(8)]
+    plan = neardup_pairs(_df(spark, rows))._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sig_udf") <= 1, plan
