@@ -520,10 +520,18 @@ def _cluster_native(
                             continue
                         d = os.path.join(stage_dir, f"p{pki:04d}-c{c:05d}")
                         os.makedirs(d, exist_ok=True)
+                        # staging runs are read exactly once by the reduce
+                        # task: parquet column statistics (a full min/max
+                        # pass over every token) and dictionary-encoding
+                        # attempts are pure waste here — manifest stats for
+                        # the FINAL files come from _arrow_stats, and only
+                        # final files are ever scan-pruned
                         pq.write_table(
                             stbl.slice(s, e - s),
                             os.path.join(d, f"run-{v:05d}.parquet"),
                             compression="lz4",
+                            write_statistics=False,
+                            use_dictionary=False,
                         )
                     yield pa.RecordBatch.from_pydict(
                         {"pki": pa.array([pki], pa.int32()),

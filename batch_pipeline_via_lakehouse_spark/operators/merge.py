@@ -102,18 +102,69 @@ def _merge_candidates(live: list, key_stats: dict[str, tuple]) -> list:
 
 
 def _affected_files(
-    spark: SparkSession, table: Table, source: DataFrame, key_cols: list[str], snapshot_id: int
-) -> tuple[list, list]:
-    """Split live files into (with-matching-keys, without). Two stages:
-    manifest min/max stats on the key columns rule files out metadata-only
-    (never opened at all), then a column-pruned key scan of the surviving
-    candidates decides exactly."""
-    live = table.live_files(snapshot_id)
-    if not live:
-        return [], []
-    cand = _merge_candidates(live, _source_key_stats(source, key_cols))
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    key_cols: list[str],
+    snapshot_id: int,
+    distributed: bool | None = None,
+) -> tuple[list, int]:
+    """Find the live files holding matching keys -> (affected DataFiles,
+    untouched-file count). Two stages: manifest min/max stats on the key
+    columns rule files out metadata-only (never opened at all), then a
+    column-pruned key scan of the surviving candidates decides exactly.
+
+    Above DISTRIBUTED_PLAN_THRESHOLD live files, the stats prune runs as a
+    mapInPandas job over the manifest Parquet (the same pattern as
+    small_live_files / prune_paths_distributed), applying the IDENTICAL
+    Python predicate per manifest row executor-side — the driver then
+    materializes DataFile objects (JSON stats parse included) only for the
+    stats-surviving candidates, never the full snapshot. The candidate key
+    scan and commit need those candidate paths on the driver regardless, so
+    O(#candidates) is the floor; the former fold was O(#live)."""
+    from ..sources.scan import DISTRIBUTED_PLAN_THRESHOLD, manifest_df, snapshot_file_count
+
+    n_live = snapshot_file_count(table, snapshot_id)
+    if n_live == 0:
+        return [], 0
+    if distributed is None:
+        distributed = n_live > DISTRIBUTED_PLAN_THRESHOLD
+    key_stats = _source_key_stats(source, key_cols)
+
+    if not distributed:
+        live = table.live_files(snapshot_id)
+        cand = _merge_candidates(live, key_stats)
+    else:
+        import json as _json
+
+        from ..table.format import DataFile
+
+        def prune(batches):
+            from ..sources.scan import _manifest_row_datafile
+
+            for b in batches:
+                keep = []
+                for i in range(len(b)):
+                    f = _manifest_row_datafile(
+                        b["path"].iat[i], b["partition"].iat[i], b["stats"].iat[i]
+                    )
+                    if _merge_candidates([f], key_stats):
+                        keep.append(i)
+                yield b.iloc[keep]
+
+        mdf = manifest_df(spark, table, snapshot_id)
+        cand = [
+            DataFile(
+                path=r["path"],
+                partition=_json.loads(r["partition"]) if r["partition"] else {},
+                rows=r["rows"],
+                bytes=r["bytes"],
+                stats=_json.loads(r["stats"]) if r["stats"] else {},
+            )
+            for r in mdf.mapInPandas(prune, mdf.schema).collect()
+        ]
     if not cand:
-        return [], list(live)
+        return [], n_live
     # planning must classify files with the SAME match semantics the rewrite
     # uses (null-safe <=>): an on=key_cols semi-join would drop null-key
     # matches, mis-classify their file as untouched, and duplicate the key
@@ -140,9 +191,8 @@ def _affected_files(
     import os
 
     hit_rel = {os.path.relpath(norm(p), table.root) for p in hit_paths}
-    affected = [f for f in live if f.path in hit_rel]
-    untouched = [f for f in live if f.path not in hit_rel]
-    return affected, untouched
+    affected = [f for f in cand if f.path in hit_rel]
+    return affected, n_live - len(affected)
 
 
 def _changed_expr(tracked: list[str]) -> F.Column:
@@ -202,7 +252,7 @@ def _merge_scd1_body(
     job_id, cols, t0,
 ) -> dict:
     base = table.current_snapshot_id()
-    affected, untouched = _affected_files(spark, table, source, key_cols, base)
+    affected, n_untouched = _affected_files(spark, table, source, key_cols, base)
     # presence markers: with null-safe key matching a NULL key can be a real
     # match, so "did the other side match?" must come from a never-null
     # marker column, not from the (nullable) key itself
@@ -272,7 +322,7 @@ def _merge_scd1_body(
         {f.path for f in affected},
         "merge",
         {"job_id": job_id, "mode": "scd1", "affected-files": len(affected),
-         "carried-files": len(untouched)},
+         "carried-files": n_untouched},
         spark=spark,
     )
     log = CommitLog(table.root, job_id)
@@ -289,7 +339,7 @@ def _merge_scd1_body(
     return {
         "snapshot": sid,
         "affected_files": len(affected),
-        "carried_files": len(untouched),
+        "carried_files": n_untouched,
         "written_files": len(out_files),
     }
 
@@ -343,7 +393,7 @@ def _merge_scd2_body(
     cols, data_cols, t0,
 ) -> dict:
     base = table.current_snapshot_id()
-    affected, untouched = _affected_files(spark, table, source, key_cols, base)
+    affected, n_untouched = _affected_files(spark, table, source, key_cols, base)
     # never-null presence markers (see merge_scd1): with eqNullSafe matching,
     # a NULL key can be a genuine match, so presence tests can't use the key
     target_aff = table.read_files(spark, affected).withColumn("_t", F.lit(True))
@@ -450,4 +500,4 @@ def _merge_scd2_body(
         tokens=0,
         seconds=time.monotonic() - t0,
     )
-    return {"snapshot": sid, "affected_files": len(affected), "carried_files": len(untouched)}
+    return {"snapshot": sid, "affected_files": len(affected), "carried_files": n_untouched}

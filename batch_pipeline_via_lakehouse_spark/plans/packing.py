@@ -20,6 +20,13 @@ from .registry import load, load_wide, query  # noqa: F401 — load kept for cal
 
 _CTX = 512  # context window length (tokens) for packing
 
+# per-source row count under which the bucketed two-level prefix sum is
+# skipped for a plain per-source window (see _with_start_offsets): a single
+# task sorts ~1M (key, n_tok) rows in low seconds, while the bucketed path
+# always pays two extra metadata jobs plus two broadcast joins. Above this,
+# per-source parallelism matters more than the fixed cost.
+_SINGLE_WINDOW_MAX_ROWS = 1 << 20
+
 # deterministic doc -> n_tok, matching the flagship tokenizer's count
 _NTOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
 
@@ -51,7 +58,15 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
     deterministic across the totals pass and the main pass. Catalog tables
     can skip passes 1-2 entirely — per-file n_tok sums already live in
     manifest stats (`table/catalog.py` collects `sum` for ints); see
-    `pack_table_windows`."""
+    `pack_table_windows`.
+
+    Size-adaptive: the first metadata pass also counts rows per source, and
+    when every source fits a single window task
+    (<= _SINGLE_WINDOW_MAX_ROWS) the bucket machinery is skipped — one plain
+    per-source window cumsum, no totals pass, no bucket joins. The _start
+    values are identical either way (same (source, doc_id) prefix sum); only
+    the parallelism strategy changes. The bucketed path remains the 100 TB
+    shape."""
     from pyspark.sql.types import NumericType
 
     spark = df.sparkSession
@@ -99,9 +114,20 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
             .agg(
                 F.percentile_approx("_ord", fracs, 10_000).alias("cuts"),
                 F.max("_supp").alias("supp"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
+        if not cut_rows or max(r["n"] for r in cut_rows) <= _SINGLE_WINDOW_MAX_ROWS:
+            # every source fits one window task: the two-level scan would
+            # cost two extra jobs + two broadcast joins for nothing
+            w1 = Window.partitionBy("_sk").orderBy("doc_id")
+            return (
+                df.withColumn(
+                    "_start", F.sum("n_tok").over(w1) - F.col("n_tok")
+                )
+                .drop("_ord", "_sk")
+            )
         cuts_df = F.broadcast(
             spark.createDataFrame(
                 [

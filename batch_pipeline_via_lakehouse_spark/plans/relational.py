@@ -156,18 +156,27 @@ def topn_per_group(spark, sf_dir) -> DataFrame:
 )
 def dedup_latest(spark, sf_dir) -> DataFrame:
     """Keep-latest dedup (W1; `src/elt/silver/_silver_handler.py:124-143`) —
-    the MERGE source-prep pattern."""
+    the MERGE source-prep pattern.
+
+    Aggregate form of rn=1: max over struct(ts, event_id, value) compares
+    lexicographically, so the group's max struct IS the row_number-1 row of
+    the (ts DESC, event_id DESC) window (event_id is a unique tiebreak, so
+    `value` never decides; a null ts orders below any non-null in both
+    forms). Struct max plans as a SortAggregate with map-side PARTIAL
+    aggregation: the shuffle carries one candidate row per group per
+    partition (the window form shuffles every surviving row), and the
+    map-side sort is by the two GROUP columns only, not the window's
+    four-column (group, ts DESC, event_id DESC) ordering."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    m = F.max(F.struct("ts", "event_id", "value")).alias("m")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        e.groupBy("user_id", "event_type")
+        .agg(m)
         .select(
-            "user_id", "event_type", "event_id",
-            _us("ts").alias("ts_us"),
-            F.round("value", 4).alias("value"),
+            "user_id", "event_type",
+            F.col("m.event_id").alias("event_id"),
+            _us(F.col("m.ts")).alias("ts_us"),
+            F.round("m.value", 4).alias("value"),
         )
     )
 

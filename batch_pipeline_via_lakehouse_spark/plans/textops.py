@@ -261,8 +261,14 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     intersections) both read it; sizes (one row per doc) is checkpointed too
     and broadcast into the final joins."""
     d = load_wide(spark, sf_dir, "documents")
-    grams = d.select("doc_id", words_col().alias("w")).select(
-        "doc_id", F.explode(word_3grams_expr("w")).alias("g")
+    # the gram stream feeds two consumers (df count, survivor join):
+    # localCheckpoint materializes it once — roughly the bytes one shuffle
+    # of it would spill anyway (MEMORY_AND_DISK) — instead of re-running
+    # scan+split+explode per consumer
+    grams = (
+        d.select("doc_id", words_col().alias("w"))
+        .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
+        .localCheckpoint(eager=True)
     )
     df_ok = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(
         F.col("_df") <= _DF_CAP
@@ -583,6 +589,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = _CC_MAX_ITERS,
     doubling_from: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list:
     ``vertices (v)``, ``edges (a, b)`` -> ``(v, lbl)`` where lbl is the MIN
@@ -619,9 +626,17 @@ def connected_components(
     checkpoint is materialized, the PREVIOUS round's checkpointed RDD is
     explicitly unpersisted (found via the context's persistent-RDD registry —
     the checkpointed RDD is not reachable as a Python attribute), so executor
-    storage holds at most two label sets instead of max_iters. On a real
-    cluster a persistent-storage checkpoint or table write replaces this
-    (localCheckpoint does not survive executor loss)."""
+    storage holds at most two label sets instead of max_iters.
+
+    ``checkpoint_dir``: when set, every round materializes through a
+    RELIABLE ``df.checkpoint()`` into that directory (persistent storage —
+    on a cluster, the shared table store) instead of ``localCheckpoint``,
+    so a 100 TB dedup run survives executor loss mid-iteration: lost label
+    partitions are re-read from the checkpoint files rather than restarting
+    the whole propagation. The caller owns the directory's lifecycle
+    (delete it after consuming the result). With ``checkpoint_dir=None``
+    (default) the cheaper localCheckpoint is used — right for interactive /
+    bench runs where a lost executor means a lost JVM anyway."""
     # symmetrize via ONE explode instead of a two-branch union: the union
     # form evaluated the (expensive) upstream pair pipeline once per branch
     # and doubled the partition count every downstream stage had to schedule
@@ -653,11 +668,18 @@ def connected_components(
         except Exception:  # noqa: BLE001 — plan shape changed; GC will clean
             return None
 
-    labels = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _materialize(
         edges_sym.groupBy(F.col("a").alias("v"))
         .agg(F.min("b").alias("_mn"))
         .select("v", F.least(F.col("v"), F.col("_mn")).alias("lbl"))
-        .localCheckpoint(eager=True)
     )
     prev_rdd = _ckpt_rdd(labels)
     import os as _os
@@ -711,7 +733,7 @@ def connected_components(
             # The probe is an OBSERVED metric computed inside the same job
             # that materializes the round's checkpoint — zero extra jobs or
             # scans per round (formerly a separate filter+count job).
-            new_labels = (
+            new_labels = _materialize(
                 cand.groupBy("v")
                 .agg(
                     F.min("lbl").alias("lbl"),
@@ -723,7 +745,6 @@ def connected_components(
                         F.when(F.col("lbl") < F.col("_old"), 1).otherwise(0)
                     ).alias("changed"),
                 )
-                .localCheckpoint(eager=True)
             )
             # the new round is materialized: the previous round's
             # checkpointed RDD is no longer referenced by any future plan —

@@ -144,20 +144,31 @@ def test_offsets_match_single_window_path(spark):
     assert got == exp
 
 
-def test_offset_window_is_bucketed(spark):
-    """Scale shape: no single-partition-per-source window remains — every
-    window in the packing plan partitions by (source, _bkt), so the cumsum
-    parallelizes by bucket count, not source count."""
+def test_offset_window_is_size_adaptive(spark, monkeypatch):
+    """Scale shape: ABOVE the single-window threshold every window in the
+    packing plan partitions by (source, _bkt) — the cumsum parallelizes by
+    bucket count, not source count. Below it (the metadata pass proves every
+    source fits one task) the plan uses one plain per-source window and none
+    of the bucket machinery."""
     import re
 
-    from batch_pipeline_via_lakehouse_spark.plans.packing import pack_sequences
+    from batch_pipeline_via_lakehouse_spark.plans import packing
 
-    df = pack_sequences(spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
-    assert specs, plan[:3000]
-    for s in specs:
+    def specs_of():
+        df = packing.pack_sequences(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs, plan[:3000]
+        return specs
+
+    # big-source regime: force the bucketed path
+    monkeypatch.setattr(packing, "_SINGLE_WINDOW_MAX_ROWS", 0)
+    for s in specs_of():
         assert "_bkt" in s, s
+    # small-source regime: plain per-source window, no bucket column
+    monkeypatch.setattr(packing, "_SINGLE_WINDOW_MAX_ROWS", 1 << 20)
+    for s in specs_of():
+        assert "_bkt" not in s and "_sk" in s, s
 
 
 def _token_docs(n):
@@ -236,7 +247,9 @@ def test_pack_table_windows_fallback_on_overlap(spark, tmp_path):
         )
     fast = pack_table_windows(spark, t, ctx_len=16)
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "_bkt" in plan  # fell back to the bucketed generic path
+    # fell back to the generic offsets path (no manifest base offsets); at
+    # this size the generic path itself takes the single-window form
+    assert "_relpath" not in plan and "_sk" in plan
     generic = pack_token_windows(
         t.scan(spark).select(
             "doc_id",
@@ -336,7 +349,9 @@ def test_pack_table_windows_null_mix_falls_back(spark, tmp_path):
     t.commit(t.write_datafiles(df, sort_within=["doc_id"]), set(), "append")
     fast = pack_table_windows(spark, t, ctx_len=16)
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "_bkt" in plan  # null-count gate forced the generic path
+    # null-count gate forced the generic offsets path (single-window form
+    # at this size), not the manifest fast path
+    assert "_relpath" not in plan and "_sk" in plan
     generic = pack_token_windows(
         t.scan(spark).select(
             "doc_id",
@@ -350,3 +365,20 @@ def test_pack_table_windows_null_mix_falls_back(spark, tmp_path):
     exp = {(r.source, r.bin): list(r.tokens) for r in generic.collect()}
     assert got == exp and got
     assert any(src is None for src, _ in got)  # NULL stream survived
+
+
+def test_bucketed_and_single_window_offsets_agree(spark, monkeypatch):
+    """The size-adaptive switch must be invisible in the results: the
+    bucketed two-level prefix sum and the plain per-source window produce
+    identical pack_sequences/pack_windows outputs."""
+    from batch_pipeline_via_lakehouse_spark.plans import packing
+
+    def rows(fn):
+        return sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect())
+
+    monkeypatch.setattr(packing, "_SINGLE_WINDOW_MAX_ROWS", 0)
+    bucketed_seq = rows(packing.pack_sequences)
+    bucketed_win = rows(packing.pack_windows)
+    monkeypatch.setattr(packing, "_SINGLE_WINDOW_MAX_ROWS", 1 << 20)
+    assert rows(packing.pack_sequences) == bucketed_seq
+    assert rows(packing.pack_windows) == bucketed_win

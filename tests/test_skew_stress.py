@@ -25,13 +25,16 @@ def _skewed_docs(n: int):
     return rows
 
 
-def test_packing_buckets_balanced_under_skew(spark):
+def test_packing_buckets_balanced_under_skew(spark, monkeypatch):
     """The bucketed prefix sum's parallelism unit is (source, bucket): the
     dominant source must split across ~n_buckets balanced buckets (its
     percentile cuts adapt to its own doc_id distribution), never collapse
-    into one window task."""
+    into one window task. Forces the bucketed path (at this row count the
+    size-adaptive switch would legitimately take the single-window form)."""
+    from batch_pipeline_via_lakehouse_spark.plans import packing
     from batch_pipeline_via_lakehouse_spark.plans.packing import _with_start_offsets
 
+    monkeypatch.setattr(packing, "_SINGLE_WINDOW_MAX_ROWS", 0)
     n, buckets = 8000, 8
     df = spark.createDataFrame(
         _skewed_docs(n), "doc_id long, tokens array<int>, n_tok int, source string"

@@ -102,18 +102,28 @@ def test_jaccard_survives_hot_shingle(spark, tmp_path):
     assert all(p == (0, 1) for p in got)
 
 
-def test_connected_components_transitive_chain(spark):
+import pytest
+
+
+@pytest.mark.parametrize("durable", [False, True])
+def test_connected_components_transitive_chain(spark, tmp_path, durable):
     """Keeper resolution must be TRANSITIVE: a chain 1-2-3-...-8 (each link a
     pair, ends sharing nothing) all maps to vertex 1; a separate clique maps
     to its min; singletons keep their own id. The 8-link chain exercises
-    multiple propagation rounds (diameter > 1)."""
+    multiple propagation rounds (diameter > 1). Parametrized over both
+    checkpoint modes: executor-local (default) and the durable
+    checkpoint_dir mode that survives executor loss."""
     from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
 
     verts = spark.createDataFrame([(v,) for v in range(1, 15)], "v long")
     chain = [(i, i + 1) for i in range(1, 8)]          # 1..8 chain
     clique = [(10, 11), (10, 12), (11, 12)]            # 10..12 clique
     edges = spark.createDataFrame(chain + clique, "a long, b long")
-    got = {r.v: r.lbl for r in connected_components(verts, edges).collect()}
+    kw = {"checkpoint_dir": str(tmp_path / "cc-ckpt")} if durable else {}
+    got = {r.v: r.lbl for r in connected_components(verts, edges, **kw).collect()}
+    if durable:
+        import os
+        assert os.listdir(str(tmp_path / "cc-ckpt"))  # reliable files written
     assert got == {
         **{v: 1 for v in range(1, 9)},
         **{v: 10 for v in (10, 11, 12)},
