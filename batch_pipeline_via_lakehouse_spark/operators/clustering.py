@@ -340,16 +340,47 @@ def _cluster_spark(
 #   plan   : per-file key-quantile samples (column-pruned native reads)
 #            -> driver merges into per-partition range-cell bounds
 #   map    : one task per data file: native read, vectorized key
-#            (functions/zorder kernels + FNV-1a dim hashes), sort, write one
-#            sorted run per cell (lz4 staging)
-#   reduce : one task per cell: merge the cell's sorted runs, write the
-#            final zstd file + manifest stats
+#            (functions/zorder kernels + FNV-1a dim hashes), sort, write ONE
+#            Arrow IPC run file (a record batch per overlapping cell, lz4)
+#   reduce : one task per cell: footer-indexed reads of its cell's batches
+#            from each run, merge, write the final zstd file + manifest stats
 #
 # Both stages are embarrassingly parallel Spark jobs over descriptors, so
 # parallelism == #files / #cells, independent of shuffle machinery. On a
 # real cluster the staging directory is the shared table store (object
 # storage) — the same pattern as Iceberg's shuffle-free sort rewrites.
 # Measured 8->32 core scaling efficiency of this path: ~0.98.
+
+
+def _relaxed_type(t):
+    """Fully-nullable image of an Arrow type (recursing through list/struct/
+    map, normalizing list element field names): different writers mark the
+    same logical column nullable vs not-null (and name list elements
+    'element' vs 'item'), and the reduce's ``Table.from_batches`` requires
+    EXACTLY one schema — the old multi-file parquet read promoted these
+    silently. Nullability relaxation of identical storage is a zero-copy
+    cast."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t):
+        return pa.list_(_relaxed_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_relaxed_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _relaxed_type(f.type), nullable=True) for f in t]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(_relaxed_type(t.key_type), _relaxed_type(t.item_type))
+    return t
+
+
+def _relaxed_schema(schema):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, _relaxed_type(f.type), nullable=True) for f in schema]
+    )
 
 
 def _cluster_native(
@@ -410,6 +441,8 @@ def _cluster_native(
         if f.dataType.typeName() in ("integer", "long", "float", "double")
     ]
     table_root = table.root
+    schema_order = table.schema.fieldNames()
+    schema_names = set(schema_order)
     run_dir = os.path.join(table_root, "_staging", job_id, _uuid.uuid4().hex[:8])
 
     def make_key(tbl):
@@ -494,45 +527,66 @@ def _cluster_native(
                 bounds.append(np.empty(0, np.int64))
             n_cells_per_pk.append(len(bounds[-1]) + 1)
 
-        # ---- map: sort each file by key, stage one sorted run per cell ----
+        # ---- map: sort each file by key, stage ONE Arrow IPC run file -----
+        # A run file holds one record batch per overlapping range cell, with
+        # the per-batch cell ids in the schema metadata; the reduce task
+        # random-accesses exactly its cell's batches via the IPC footer
+        # (get_batch). The former one-parquet-file-PER-CELL layout created
+        # #files x #cells tiny staging files (compacted inputs overlap every
+        # cell of their partition, so that product is dense) — the guide
+        # §2.2 quadratic-block explosion, materialized as ~50 KB files whose
+        # parquet fixed costs (thrift footer build/parse, column-chunk
+        # metadata, file create/delete) dominated both the map and the
+        # reduce stage. One IPC file per map task cuts staging file count by
+        # #cells x and batch reads are footer-indexed slices.
         def stage_task(batches):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             pa.set_cpu_count(1)
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
             for batch in batches:
                 for v in batch.column(0).to_pylist():
                     pki = file_pk[v]
                     tbl = pq.read_table(abs_paths[v], use_threads=False)
+                    # normalize away physical shadow columns (_p_<col>) some
+                    # writers leave in data files: run batches must share ONE
+                    # schema for the reduce's from_batches concat, and the
+                    # final files only need the table schema
+                    keep = [c for c in schema_order if c in tbl.column_names]
+                    if tbl.column_names != keep:
+                        tbl = tbl.select(keep)
+                    ns = _relaxed_schema(tbl.schema)
+                    if tbl.schema != ns:
+                        tbl = tbl.cast(ns)
                     k = make_key(tbl)
                     order = np.argsort(k, kind="stable")
-                    stbl = tbl.take(pa.array(order)).append_column(
-                        "_zkey", pa.array(k[order], pa.int64())
+                    stbl = (
+                        tbl.take(pa.array(order))
+                        .append_column("_zkey", pa.array(k[order], pa.int64()))
+                        .combine_chunks()
                     )
                     cells = np.searchsorted(bounds[pki], k[order], side="right")
                     nb = len(bounds[pki]) + 1
                     edges = np.concatenate(
                         [np.searchsorted(cells, np.arange(nb)), [len(cells)]]
                     )
+                    to_write = []  # (cell id, record batch) in cell order
                     for c in range(nb):
                         s, e = int(edges[c]), int(edges[c + 1])
                         if e <= s:
                             continue
-                        d = os.path.join(stage_dir, f"p{pki:04d}-c{c:05d}")
-                        os.makedirs(d, exist_ok=True)
-                        # staging runs are read exactly once by the reduce
-                        # task: parquet column statistics (a full min/max
-                        # pass over every token) and dictionary-encoding
-                        # attempts are pure waste here — manifest stats for
-                        # the FINAL files come from _arrow_stats, and only
-                        # final files are ever scan-pruned
-                        pq.write_table(
-                            stbl.slice(s, e - s),
-                            os.path.join(d, f"run-{v:05d}.parquet"),
-                            compression="lz4",
-                            write_statistics=False,
-                            use_dictionary=False,
-                        )
+                        for rb in stbl.slice(s, e - s).to_batches():
+                            to_write.append((c, rb))
+                    d = os.path.join(stage_dir, f"p{pki:04d}")
+                    os.makedirs(d, exist_ok=True)
+                    schema = stbl.schema.with_metadata(
+                        {b"cells": _json.dumps([c for c, _ in to_write]).encode()}
+                    )
+                    with pa.OSFile(os.path.join(d, f"run-{v:05d}.arrow"), "wb") as sink:
+                        with pa.ipc.new_file(sink, schema, options=opts) as w:
+                            for _, rb in to_write:
+                                w.write_batch(rb)
                     yield pa.RecordBatch.from_pydict(
                         {"pki": pa.array([pki], pa.int32()),
                          "n": pa.array([tbl.num_rows], pa.int64())}
@@ -564,13 +618,22 @@ def _cluster_native(
             for batch in batches:
                 for ci in batch.column(0).to_pylist():
                     pki, c = cell_list[ci]
-                    runs = sorted(
-                        _glob.glob(os.path.join(stage_dir, f"p{pki:04d}-c{c:05d}", "*.parquet"))
-                    )
-                    if not runs:
+                    parts = []
+                    for rf in sorted(
+                        _glob.glob(os.path.join(stage_dir, f"p{pki:04d}", "*.arrow"))
+                    ):
+                        with pa.memory_map(rf, "r") as mm:
+                            rd = pa.ipc.open_file(mm)
+                            meta = rd.schema.metadata or {}
+                            for bi, bc in enumerate(
+                                _json.loads(meta.get(b"cells", b"[]"))
+                            ):
+                                if bc == c:
+                                    parts.append(rd.get_batch(bi))
+                    if not parts:
                         continue
                     tbl = (
-                        pq.read_table(runs, use_threads=False)
+                        pa.Table.from_batches(parts)
                         .sort_by([("_zkey", "ascending")])
                         .drop_columns(["_zkey"])
                     )

@@ -60,10 +60,12 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
     manifest stats (`table/catalog.py` collects `sum` for ints); see
     `pack_table_windows`.
 
-    Size-adaptive: the first metadata pass also counts rows per source, and
-    when every source fits a single window task
-    (<= _SINGLE_WINDOW_MAX_ROWS) the bucket machinery is skipped — one plain
-    per-source window cumsum, no totals pass, no bucket joins. The _start
+    Size-adaptive: a cheap count/supp aggregate over the persisted slim
+    projection runs FIRST, and when every source fits a single window task
+    (<= _SINGLE_WINDOW_MAX_ROWS) the bucket machinery — including the
+    percentile_approx cut pass, which would otherwise be computed only to
+    be discarded — is skipped entirely: one plain per-source window cumsum,
+    no totals pass, no bucket joins. The _start
     values are identical either way (same (source, doc_id) prefix sum); only
     the parallelism strategy changes. The bucketed path remains the 100 TB
     shape."""
@@ -108,17 +110,16 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
     # instead of three; the main pass below is the second and last
     slim = df.select("_sk", "_ord", "n_tok", supp.alias("_supp")).persist()
     try:
-        fracs = [i / n_buckets for i in range(1, n_buckets)]
-        cut_rows = (
+        # counts/supp first (cheap agg over the persisted projection): in the
+        # single-window case the percentile cuts would be computed only to be
+        # discarded — they are a second pass over the SAME cached slim table,
+        # paid only when the bucketed path actually runs
+        info = (
             slim.groupBy("_sk")
-            .agg(
-                F.percentile_approx("_ord", fracs, 10_000).alias("cuts"),
-                F.max("_supp").alias("supp"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(F.max("_supp").alias("supp"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        if not cut_rows or max(r["n"] for r in cut_rows) <= _SINGLE_WINDOW_MAX_ROWS:
+        if not info or max(r["n"] for r in info) <= _SINGLE_WINDOW_MAX_ROWS:
             # every source fits one window task: the two-level scan would
             # cost two extra jobs + two broadcast joins for nothing
             w1 = Window.partitionBy("_sk").orderBy("doc_id")
@@ -128,13 +129,20 @@ def _with_start_offsets(df: DataFrame, n_buckets: int | None = None) -> DataFram
                 )
                 .drop("_ord", "_sk")
             )
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        supp_by = {r["_sk"]: r["supp"] for r in info}
+        cut_rows = (
+            slim.groupBy("_sk")
+            .agg(F.percentile_approx("_ord", fracs, 10_000).alias("cuts"))
+            .collect()
+        )
         cuts_df = F.broadcast(
             spark.createDataFrame(
                 [
                     (
                         r["_sk"],
                         []
-                        if r["supp"]
+                        if supp_by[r["_sk"]]
                         else [int(c) for c in (r["cuts"] or [])],
                     )
                     for r in cut_rows

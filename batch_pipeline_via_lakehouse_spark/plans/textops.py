@@ -250,10 +250,10 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     exploded gram stream is aggregated to per-gram document frequencies
     FIRST (hash aggregate with map-side partials — the shuffle carries one
     row per distinct gram per map partition, never the gram stream), the
-    df-capped survivor grams then rebuild posting lists from a second pass
-    over the gram stream (AQE turns the df join into a broadcast when the
-    survivor set is small), and pair candidates expand from each sorted
-    posting list with SQL lambdas. The former form — a per-gram WINDOW count
+    few over-cap HOT grams broadcast into a map-side anti-filter on a
+    second pass over the gram stream (the inverted, scale-stable form of
+    the survivor join: hot grams are bounded by #grams/cap), and pair
+    candidates expand from each sorted posting list with SQL lambdas. The former form — a per-gram WINDOW count
     (full gram-stream shuffle + sort) followed by a posting self-join —
     re-evaluated the full scan+split+explode subtree four times AND shuffled
     the whole gram stream three times. The survivor posting table is
@@ -270,11 +270,17 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
         .select("doc_id", F.explode(word_3grams_expr("w")).alias("g"))
         .localCheckpoint(eager=True)
     )
-    df_ok = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= _DF_CAP
+    # survivor filter INVERTED to the small side: the grams with df > cap
+    # are by construction few (boilerplate — bounded by #grams/cap), so they
+    # broadcast and the gram stream is anti-filtered MAP-SIDE; joining
+    # against the df<=cap table instead would sort-merge the gram stream
+    # against a nearly-#distinct-grams-sized table (two extra exchanges +
+    # sorts at corpus scale)
+    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") > _DF_CAP
     )
     posting = (
-        grams.join(df_ok.select("g"), "g")
+        grams.join(F.broadcast(hot.select("g")), "g", "left_anti")
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .localCheckpoint(eager=True)
@@ -526,6 +532,15 @@ def decontaminate(spark, sf_dir) -> DataFrame:
 
 _CC_MAX_ITERS = 20
 
+# edge count at or below which connected_components solves the graph in ONE
+# executor task (NumPy union-find over the materialized pair list) instead of
+# the iterative distributed loop. 2^22 int64 pairs ≈ 64 MB in a single task —
+# the size of one fat shuffle partition — and the vectorized hook+compress
+# passes run at C speed, so the crossover vs ~log(diameter) full Spark rounds
+# (each a join + groupBy + checkpoint job) is far above this. Above the
+# threshold the pointer-doubling loop remains the 100 TB shape.
+_CC_SMALL_MAX_EDGES = 1 << 22
+
 
 @query(
     "dedup_clusters",
@@ -584,12 +599,62 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     ).select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster"))
 
 
+def _cc_min_label_kernel(a, b):
+    """Vectorized min-label union-find over two int64 edge-endpoint arrays:
+    returns ``(u, lbl)`` — the sorted unique vertex ids and, aligned with
+    them, the MIN vertex id of each one's component. Pure NumPy (no Spark):
+    hook rounds (every edge pulls both endpoints to the smaller current
+    label) alternate with full pointer-compression passes (lbl = lbl[lbl]
+    to fixpoint), so convergence is O(log n) vectorized O(E) passes. The
+    fixed point is exactly the distributed loop's: labels start at self,
+    only decrease, and stay inside the component, so each component's stable
+    label is its minimum member."""
+    import numpy as np
+
+    u, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia = inv[: len(a)]
+    ib = inv[len(a):]
+    lbl = np.arange(len(u), dtype=np.int64)
+    while True:
+        m = np.minimum(lbl[ia], lbl[ib])
+        np.minimum.at(lbl, ia, m)
+        np.minimum.at(lbl, ib, m)
+        while True:
+            l2 = lbl[lbl]
+            if np.array_equal(l2, lbl):
+                break
+            lbl = l2
+        if np.array_equal(lbl[ia], lbl[ib]):
+            break
+    return u, u[lbl]
+
+
+def _cc_uf_task(batches):
+    """mapInArrow body: concatenate the (single coalesced) partition's edge
+    batches and emit one (v, lbl) batch from the NumPy kernel. Endpoints
+    must be non-null integers (LSH pair output always is)."""
+    import numpy as np
+    import pyarrow as pa
+
+    aa, bb = [], []
+    for batch in batches:
+        aa.append(batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        bb.append(batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+    if not aa:
+        return
+    u, lbl = _cc_min_label_kernel(np.concatenate(aa), np.concatenate(bb))
+    yield pa.RecordBatch.from_pydict(
+        {"v": pa.array(u, pa.int64()), "lbl": pa.array(lbl, pa.int64())}
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iters: int = _CC_MAX_ITERS,
     doubling_from: int = 2,
     checkpoint_dir: str | None = None,
+    small_max_edges: int | None = _CC_SMALL_MAX_EDGES,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list:
     ``vertices (v)``, ``edges (a, b)`` -> ``(v, lbl)`` where lbl is the MIN
@@ -617,7 +682,13 @@ def connected_components(
     - the convergence probe is FOLDED into the update job: the min-groupBy
       carries the previous label alongside the new one, so detecting the
       fixed point is a filter over the just-persisted result — no extra
-      join job per round.
+      join job per round;
+    - SCALE-ADAPTIVE: when the materialized edge list is small enough for
+      one task (``small_max_edges``, default ~4M pairs), the entire
+      propagation collapses into a single vectorized NumPy union-find task
+      (`_cc_min_label_kernel`) — identical labels, one job instead of
+      ~log(diameter) rounds. Pass ``small_max_edges=0/None`` to force the
+      distributed loop.
 
     Each round is localCheckpoint-ed executor-side (never a driver collect —
     the mapping is pair-bounded but can be large): that truncates the
@@ -637,10 +708,53 @@ def connected_components(
     (delete it after consuming the result). With ``checkpoint_dir=None``
     (default) the cheaper localCheckpoint is used — right for interactive /
     bench runs where a lost executor means a lost JVM anyway."""
+    e0 = edges.select("a", "b")
+
+    # --- scale-adaptive small-graph path ---------------------------------
+    # The distributed loop costs ~log(diameter) full Spark rounds (each a
+    # join + min-groupBy + checkpoint job) of near-fixed latency; when the
+    # whole edge list fits ONE task (<= small_max_edges, ~64 MB of int64
+    # pairs) the same min-label fixed point comes out of a single
+    # vectorized union-find task over the materialized pairs — the
+    # broadcast-threshold pattern of algorithm choice, decided per run from
+    # the actual edge count, never cached across runs. Disabled in durable
+    # checkpoint_dir mode (that mode exists for runs big enough to lose
+    # executors) and for non-integer vertex ids.
+    if small_max_edges and checkpoint_dir is None:
+        from pyspark.sql.types import IntegralType
+
+        if all(
+            isinstance(edges.schema[c].dataType, IntegralType) for c in ("a", "b")
+        ) and isinstance(vertices.schema["v"].dataType, IntegralType):
+            e0 = e0.persist()
+            n_edges = e0.count()  # one materialization of the pair pipeline
+            if n_edges == 0:
+                e0.unpersist()
+                return vertices.select("v", F.col("v").alias("lbl"))
+            if n_edges <= small_max_edges:
+                labels = (
+                    e0.coalesce(1)
+                    .mapInArrow(_cc_uf_task, "v long, lbl long")
+                    .localCheckpoint(eager=True)
+                )
+                e0.unpersist()
+                vt = vertices.schema["v"].dataType
+                return (
+                    vertices.select("v")
+                    .join(
+                        labels.select(
+                            F.col("v").cast(vt).alias("v"),
+                            F.col("lbl").cast(vt).alias("lbl"),
+                        ),
+                        "v",
+                        "left",
+                    )
+                    .select("v", F.coalesce("lbl", "v").alias("lbl"))
+                )
+
     # symmetrize via ONE explode instead of a two-branch union: the union
     # form evaluated the (expensive) upstream pair pipeline once per branch
     # and doubled the partition count every downstream stage had to schedule
-    e0 = edges.select("a", "b")
     edges_sym = (
         e0.select(
             F.explode(
@@ -770,6 +884,8 @@ def connected_components(
         final = labels
     finally:
         edges_sym.unpersist()
+        if e0.is_cached:  # persisted by the small-graph gate's count
+            e0.unpersist()
     # singletons never entered the loop: attach them with lbl = v
     return vertices.select("v").join(final, "v", "left").select(
         "v", F.coalesce("lbl", "v").alias("lbl")

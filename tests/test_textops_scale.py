@@ -171,7 +171,10 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "a long, b long"
     )
-    got = {r.v: r.lbl for r in connected_components(verts, chain).collect()}
+    got = {
+        r.v: r.lbl
+        for r in connected_components(verts, chain, small_max_edges=0).collect()
+    }
     assert got == {**{v: 1 for v in range(1, n + 1)}, n + 1: n + 1}
 
 
@@ -185,7 +188,46 @@ def test_connected_components_raises_past_round_cap(spark):
     verts = spark.createDataFrame([(v,) for v in range(1, 9)], "v long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(verts, chain, max_iters=2)
+        connected_components(verts, chain, max_iters=2, small_max_edges=0)
+
+
+def test_connected_components_small_path_matches_loop(spark):
+    """The single-task union-find fast path must produce IDENTICAL labels to
+    the distributed doubling loop on an adversarial random graph (chains,
+    cliques, self-loops, duplicate + reversed edges, singletons)."""
+    import random
+
+    from batch_pipeline_via_lakehouse_spark.plans.textops import connected_components
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(i, i + 1) for i in range(1, 60)]               # long chain
+    edges += [(a, b) for a in range(100, 110) for b in range(a + 1, 110)]  # clique
+    edges += [(rng.randrange(1, n), rng.randrange(1, n)) for _ in range(300)]
+    edges += [(b, a) for a, b in edges[:50]] + [(5, 5)]      # reversed + self
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "v long")
+    e = spark.createDataFrame(edges, "a long, b long")
+    fast = {r.v: r.lbl for r in connected_components(verts, e).collect()}
+    loop = {
+        r.v: r.lbl
+        for r in connected_components(verts, e, small_max_edges=0).collect()
+    }
+    assert fast == loop
+
+
+def test_cc_min_label_kernel_min_semantics():
+    """Kernel-level check (no Spark): labels are the component MIN, sorted
+    unique vertex order, including a path that needs multiple hook rounds."""
+    import numpy as np
+
+    from batch_pipeline_via_lakehouse_spark.plans.textops import _cc_min_label_kernel
+
+    # path 9-8-7-...-1 given in worst-case (descending) order + island 20-21
+    a = np.array([9, 8, 7, 6, 5, 4, 3, 2, 20], dtype=np.int64)
+    b = np.array([8, 7, 6, 5, 4, 3, 2, 1, 21], dtype=np.int64)
+    u, lbl = _cc_min_label_kernel(a, b)
+    assert list(u) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 20, 21]
+    assert list(lbl) == [1] * 9 + [20, 20]
 
 
 def test_repetition_ratio_is_shuffle_free(spark):
@@ -262,7 +304,7 @@ def test_connected_components_unpersists_round_checkpoints(spark):
     n = 120  # long chain -> many rounds
     verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "v long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "a long, b long")
-    got = connected_components(verts, chain)
+    got = connected_components(verts, chain, small_max_edges=0)
     assert got.filter("lbl <> 1").count() == 0
     after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     new = after - before
