@@ -507,8 +507,14 @@ def _cluster_native(
 
         _dbg = os.environ.get("SPARK_GRAFT_CLUSTER_DEBUG") == "1"
         _t = time.monotonic()
+        # ~2 task waves, several files per task: each sample read is a tiny
+        # column-pruned scan, so one-task-per-file is dispatch-dominated
         samples = (
-            spark.range(0, len(abs_paths), numPartitions=len(abs_paths))
+            spark.range(
+                0,
+                len(abs_paths),
+                numPartitions=max(1, min(len(abs_paths), 2 * par)),
+            )
             .mapInArrow(sample_task, "pk int, key long")
             .toPandas()
         )
@@ -603,8 +609,18 @@ def _cluster_native(
             print(f"# cluster[b{bi}] map: {time.monotonic()-_t:.2f}s")
 
         # ---- reduce: merge each cell's sorted runs -> final file + stats ----
+        # one task per GROUP of contiguous cells (~2 task waves), not one
+        # task per cell: the per-cell cost is dominated by opening every run
+        # file's IPC footer, so a task that serves G cells of one partition
+        # opens that partition's runs ONCE and reuses the parsed batch index
+        # — #footer-parses drops from #cells x #runs to #tasks x #runs.
         cell_list = [
             (pki, c) for pki in range(len(bundle)) for c in range(n_cells_per_pk[pki])
+        ]
+        n_red = max(1, min(len(cell_list), 2 * par))
+        group_sz = (len(cell_list) + n_red - 1) // n_red
+        cell_groups = [
+            cell_list[i : i + group_sz] for i in range(0, len(cell_list), group_sz)
         ]
         commit_rel = os.path.join("data", _uuid.uuid4().hex)
 
@@ -616,53 +632,62 @@ def _cluster_native(
 
             pa.set_cpu_count(1)
             for batch in batches:
-                for ci in batch.column(0).to_pylist():
-                    pki, c = cell_list[ci]
-                    parts = []
-                    for rf in sorted(
-                        _glob.glob(os.path.join(stage_dir, f"p{pki:04d}", "*.arrow"))
-                    ):
-                        with pa.memory_map(rf, "r") as mm:
-                            rd = pa.ipc.open_file(mm)
+                for gi in batch.column(0).to_pylist():
+                    group = cell_groups[gi]
+                    readers: dict[int, list] = {}
+                    for pki in {pki for pki, _ in group}:
+                        rds = []
+                        for rf in sorted(
+                            _glob.glob(os.path.join(stage_dir, f"p{pki:04d}", "*.arrow"))
+                        ):
+                            rd = pa.ipc.open_file(pa.memory_map(rf, "r"))
                             meta = rd.schema.metadata or {}
+                            idx: dict[int, list[int]] = {}
                             for bi, bc in enumerate(
                                 _json.loads(meta.get(b"cells", b"[]"))
                             ):
-                                if bc == c:
-                                    parts.append(rd.get_batch(bi))
-                    if not parts:
-                        continue
-                    tbl = (
-                        pa.Table.from_batches(parts)
-                        .sort_by([("_zkey", "ascending")])
-                        .drop_columns(["_zkey"])
-                    )
-                    partition = partitions[pki]
-                    dirs = "/".join(
-                        f"_p_{k}={quote(str(v), safe='')}" for k, v in sorted(partition.items())
-                    )
-                    rel_dir = os.path.join(commit_rel, dirs) if dirs else commit_rel
-                    os.makedirs(os.path.join(table_root, rel_dir), exist_ok=True)
-                    rel = os.path.join(rel_dir, f"part-{pki:04d}-{c:05d}.zstd.parquet")
-                    abs_p = os.path.join(table_root, rel)
-                    # level 1 == parquet-cpp's zstd default: rewrite outputs
-                    # are re-rewritten by future maintenance, so compression
-                    # CPU is steady-state cost, not one-time
-                    pq.write_table(tbl, abs_p, compression="zstd", compression_level=1)
-                    yield pa.RecordBatch.from_pydict(
-                        {
-                            "pki": pa.array([pki], pa.int32()),
-                            "path": [rel],
-                            "partition": [_json.dumps(partition, sort_keys=True)],
-                            "rows": pa.array([tbl.num_rows], pa.int64()),
-                            "bytes": pa.array([os.path.getsize(abs_p)], pa.int64()),
-                            "stats": [_json.dumps(_arrow_stats(tbl, tracked, sums), default=str)],
-                        }
-                    )
+                                idx.setdefault(bc, []).append(bi)
+                            rds.append((rd, idx))
+                        readers[pki] = rds
+                    for pki, c in group:
+                        parts = [
+                            rd.get_batch(bi)
+                            for rd, idx in readers[pki]
+                            for bi in idx.get(c, ())
+                        ]
+                        if not parts:
+                            continue
+                        tbl = (
+                            pa.Table.from_batches(parts)
+                            .sort_by([("_zkey", "ascending")])
+                            .drop_columns(["_zkey"])
+                        )
+                        partition = partitions[pki]
+                        dirs = "/".join(
+                            f"_p_{k}={quote(str(v), safe='')}" for k, v in sorted(partition.items())
+                        )
+                        rel_dir = os.path.join(commit_rel, dirs) if dirs else commit_rel
+                        os.makedirs(os.path.join(table_root, rel_dir), exist_ok=True)
+                        rel = os.path.join(rel_dir, f"part-{pki:04d}-{c:05d}.zstd.parquet")
+                        abs_p = os.path.join(table_root, rel)
+                        # level 1 == parquet-cpp's zstd default: rewrite
+                        # outputs are re-rewritten by future maintenance, so
+                        # compression CPU is steady-state cost, not one-time
+                        pq.write_table(tbl, abs_p, compression="zstd", compression_level=1)
+                        yield pa.RecordBatch.from_pydict(
+                            {
+                                "pki": pa.array([pki], pa.int32()),
+                                "path": [rel],
+                                "partition": [_json.dumps(partition, sort_keys=True)],
+                                "rows": pa.array([tbl.num_rows], pa.int64()),
+                                "bytes": pa.array([os.path.getsize(abs_p)], pa.int64()),
+                                "stats": [_json.dumps(_arrow_stats(tbl, tracked, sums), default=str)],
+                            }
+                        )
 
         _t = time.monotonic()
         rows = (
-            spark.range(0, len(cell_list), numPartitions=len(cell_list))
+            spark.range(0, len(cell_groups), numPartitions=len(cell_groups))
             .mapInArrow(final_task, "pki int, path string, partition string, rows long, bytes long, stats string")
             .collect()
         )
