@@ -773,29 +773,46 @@ def connected_components(
     # the logical plan every round (exponential Catalyst analysis time) —
     # persist() truncates execution but not the plan; checkpointing does
     # both, and the fixed-point probe needs the round materialized anyway.
-    def _ckpt_rdd(df: DataFrame):
-        """The checkpointed java RDD behind a just-localCheckpoint-ed
-        DataFrame (its analyzed plan is a LogicalRDD), for explicit
-        unpersist once the next round has materialized."""
-        try:
-            return df._jdf.queryExecution().analyzed().rdd()
-        except Exception:  # noqa: BLE001 — plan shape changed; GC will clean
-            return None
-
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    def _materialize(df: DataFrame):
+        """Checkpoint ``df`` eagerly; return (frame, checkpointed java RDD).
 
-    labels = _materialize(
+        The returned frame is REBUILT as a plain LogicalRDD scan with FRESH
+        statistics. Dataset.checkpoint preserves the ORIGIN plan's
+        statistics on the checkpointed relation; in an iterated self-join
+        loop those stats COMPOUND multiplicatively (join sizeInBytes =
+        product of the children's), so after k rounds the checkpoint
+        carries a ~4^k-bit BigInt size and Catalyst's size-only stats
+        visitor spends its time in BigInteger multiplication — measured:
+        round cost exploding 4-5x per round from ~round 10 (0.5 s -> 230 s
+        by round 13) with the rebuild flat at ~0.4 s/round. The rebuilt
+        frame scans the SAME materialized RDD (toRdd of a checkpointed
+        plan IS that RDD), so no recompute; with AQE on, join strategies
+        are re-decided from runtime sizes anyway. The raw checkpointed RDD
+        is returned for explicit unpersist once the NEXT round has
+        materialized (executor storage holds <= 2 label sets)."""
+        spark = df.sparkSession
+        if checkpoint_dir is not None:
+            ck = df.checkpoint(eager=True)
+        else:
+            ck = df.localCheckpoint(eager=True)
+        jdf = ck._jdf
+        try:
+            ck_rdd = jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001 — plan shape changed; GC will clean
+            ck_rdd = None
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark), ck_rdd
+
+    labels, prev_rdd = _materialize(
         edges_sym.groupBy(F.col("a").alias("v"))
         .agg(F.min("b").alias("_mn"))
         .select("v", F.least(F.col("v"), F.col("_mn")).alias("lbl"))
     )
-    prev_rdd = _ckpt_rdd(labels)
     import os as _os
     import sys as _sys
     import time as _time
@@ -814,7 +831,26 @@ def connected_components(
                     F.lit(False).alias("_own"),
                 )
             )
-            cand = own.unionByName(msgs)
+            # contracted-edge messages: every edge also delivers lbl(a) TO
+            # lbl(b) — propagation runs on the label-contracted graph, whose
+            # diameter shrinks geometrically, so convergence is O(log n)
+            # even on adversarial-id path graphs where plain min-label +
+            # pointer jumps spread the component min only ~linearly
+            # (measured on a 1000-doc boilerplate chain with random ids:
+            # 57 rounds without this, 13 with). Labels sent are labels of
+            # same-component vertices, so the min-label closure argument is
+            # unchanged.
+            msgs2 = (
+                edges_sym.alias("e")
+                .join(labels.alias("la"), F.col("e.a") == F.col("la.v"))
+                .join(labels.alias("lb"), F.col("e.b") == F.col("lb.v"))
+                .select(
+                    F.col("lb.lbl").alias("v"),
+                    F.col("la.lbl").alias("lbl"),
+                    F.lit(False).alias("_own"),
+                )
+            )
+            cand = own.unionByName(msgs).unionByName(msgs2)
             if it >= doubling_from:
                 # pointer doubling, TWO jumps per round: v adopts
                 # lbl(lbl(v)) and lbl(lbl(lbl(v))) — label depth triples per
@@ -847,7 +883,7 @@ def connected_components(
             # The probe is an OBSERVED metric computed inside the same job
             # that materializes the round's checkpoint — zero extra jobs or
             # scans per round (formerly a separate filter+count job).
-            new_labels = _materialize(
+            new_labels, new_rdd = _materialize(
                 cand.groupBy("v")
                 .agg(
                     F.min("lbl").alias("lbl"),
@@ -865,7 +901,7 @@ def connected_components(
             # free its executor storage now instead of waiting for JVM GC
             if prev_rdd is not None:
                 prev_rdd.unpersist(False)
-            prev_rdd = _ckpt_rdd(new_labels)
+            prev_rdd = new_rdd
             changed = obs.get["changed"] or 0
             labels = new_labels.select("v", "lbl")
             if _dbg:
